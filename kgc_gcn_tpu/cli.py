@@ -1,0 +1,158 @@
+"""Experiment CLI — flag-compatible with the reference driver.
+
+``python -m kgc_gcn_tpu.cli --dataset WN18RR --do_train --do_test`` mirrors
+``python main.py ...`` (reference main.py:18-46,177-239): every reference flag
+is accepted with the same name and default, the effective config is written to
+``experiments/<ds>/params.json``, logging goes to console +
+``experiments/<ds>/train.log``, and train/test are mutually exclusive.
+TPU-native additions: model/decoder family, decomposition, mesh axes, dtype,
+Pallas kernel toggle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+
+import jax
+import numpy as np
+
+from kgc_gcn_tpu.config import Config, dataset_preset
+from kgc_gcn_tpu.data.batching import make_banks
+from kgc_gcn_tpu.data.dataset import load_dataset
+from kgc_gcn_tpu.data.graph import build_graph
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.train.checkpoint import load_checkpoint
+from kgc_gcn_tpu.train.loop import Trainer, train_and_evaluate
+from kgc_gcn_tpu.train.optim import make_optimizer
+from kgc_gcn_tpu.utils.logging import set_logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (reference main.py:18-46)
+    p.add_argument("--dataset", default="WN18RR")
+    p.add_argument("--seed", default=19960326, type=int)
+    p.add_argument("--restore_dir", default=None)
+    p.add_argument("--multi_gpu", action="store_true",
+                   help="accepted for parity; sharding is controlled by --data_axis/--graph_axis")
+    p.add_argument("--batch_size", default=128, type=int)
+    p.add_argument("--max_epoch", default=500, type=int)
+    p.add_argument("--min_epoch", default=50, type=int)
+    p.add_argument("--eval_every", default=1, type=int)
+    p.add_argument("--patience", default=0.001, type=float)
+    p.add_argument("--patience_num", default=-1, type=int)
+    p.add_argument("--learning_rate", default=0.001, type=float)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--lbl_smooth", default=0.1, type=float)
+    p.add_argument("--num_workers", default=0, type=int,
+                   help="accepted for parity; batching is on-device, no workers exist")
+    p.add_argument("--bias", action="store_true")
+    p.add_argument("--gcn_in_dim", default=100, type=int)
+    p.add_argument("--gcn_out_dim", default=200, type=int)
+    p.add_argument("--gcn_drop", default=0.3, type=float)
+    p.add_argument("--hidden_drop", default=0.3, type=float)
+    p.add_argument("--feat_drop", default=0.3, type=float)
+    p.add_argument("--k_w", default=10, type=int)
+    p.add_argument("--k_h", default=20, type=int)
+    p.add_argument("--num_filter", default=200, type=int)
+    p.add_argument("--kernel_size", default=7, type=int)
+    p.add_argument("--clip_grad", default=1.0, type=float)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--bi_direction", action="store_false",
+                   help="accepted for parity; the graph is always bidirectional "
+                        "(the reference flag is dead too, data_loader.py:113-114)")
+    # TPU-native flags
+    p.add_argument("--model", default="mgcn", choices=["mgcn", "rgcn"])
+    p.add_argument("--decoder", default="conve", choices=["conve", "distmult"])
+    p.add_argument("--num_layers", default=1, type=int)
+    p.add_argument("--num_bases", default=0, type=int)
+    p.add_argument("--num_blocks", default=0, type=int)
+    p.add_argument("--train_mode", default="one_vs_all",
+                   choices=["one_vs_all", "negative_sampling"])
+    p.add_argument("--num_negatives", default=64, type=int)
+    p.add_argument("--edge_sample_size", default=0, type=int)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--no_scan_epoch", action="store_true")
+    p.add_argument("--eval_batch_size", default=0, type=int)
+    p.add_argument("--data_axis", default=1, type=int)
+    p.add_argument("--graph_axis", default=1, type=int)
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--experiments_dir", default="experiments")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = dataset_preset(args.dataset)
+    overrides = {}
+    defaults = build_parser().parse_args([])
+    for field in (
+        "seed restore_dir batch_size max_epoch min_epoch eval_every patience "
+        "patience_num learning_rate weight_decay lbl_smooth bias gcn_in_dim "
+        "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
+        "kernel_size clip_grad do_train do_test model decoder num_layers "
+        "num_bases num_blocks train_mode num_negatives edge_sample_size "
+        "compute_dtype use_pallas eval_batch_size data_axis graph_axis "
+        "data_dir experiments_dir"
+    ).split():
+        val = getattr(args, field)
+        # explicit CLI values override the preset; untouched defaults do not
+        if val != getattr(defaults, field):
+            overrides[field] = val
+    overrides["scan_epoch"] = not args.no_scan_epoch
+    return cfg.replace(**overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    model_dir = os.path.join(cfg.experiments_dir, cfg.dataset)
+    os.makedirs(model_dir, exist_ok=True)
+    cfg.to_json(os.path.join(model_dir, "params.json"))
+    set_logger(os.path.join(model_dir, "train.log"))
+    logging.info("devices: %s", jax.devices())
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed % 2**32)
+
+    logging.info("Loading the dataset...")
+    ds = load_dataset(cfg.dataset, cfg.data_dir)
+    graph = build_graph(ds.train_triples, ds.num_entity, ds.num_relation)
+    banks = make_banks(ds)
+
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(cfg.seed % 2**32))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    trainer = Trainer(cfg, model, graph, banks)
+
+    best = 0.0
+    if cfg.restore_dir is not None:
+        tree, best = load_checkpoint(
+            cfg.restore_dir,
+            {"params": params, "state": state, "opt_state": opt_state})
+        params, state, opt_state = tree["params"], tree["state"], tree["opt_state"]
+        logging.info("Restored model from %s with best measure: %s",
+                     cfg.restore_dir, best)
+
+    if cfg.do_train and cfg.do_test:
+        raise ValueError("Can not perform training and testing at one time")
+    if cfg.do_train:
+        params, state, opt_state, best = train_and_evaluate(
+            trainer, params, state, opt_state, model_dir, best, seed=cfg.seed % 2**32)
+    if cfg.do_test:
+        if cfg.restore_dir is None:
+            raise ValueError("Must specify restore dir for testing")
+        trainer.evaluate(params, state, "test", mark="Test")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,120 @@
+"""Experiment configuration.
+
+The reference drives everything through 28 argparse flags whose values are
+dumped to ``experiments/<ds>/params.json`` and re-read as a dot-access object
+(reference main.py:18-46, utils.py:10-38).  Here the single source of truth is
+a frozen dataclass: every reference flag has a field with the same name and
+default, plus TPU-native knobs (mesh shape, dtype, kernel selection) the
+reference has no counterpart for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- experiment / driver (reference main.py:19-28) ----
+    dataset: str = "WN18RR"
+    seed: int = 19960326
+    restore_dir: Optional[str] = None
+    batch_size: int = 128
+    max_epoch: int = 500
+    min_epoch: int = 50
+    eval_every: int = 1
+    patience: float = 0.001          # min improvement counted as progress
+    patience_num: int = -1           # early-stop after this many stale evals (<=0: off)
+
+    # ---- optimizer (reference main.py:29-31, 43, 217-219) ----
+    learning_rate: float = 0.001
+    weight_decay: float = 0.0
+    lbl_smooth: float = 0.1
+    clip_grad: float = 1.0
+    lr_step_size: int = 10           # StepLR(step_size=10, gamma=0.995), main.py:219
+    lr_gamma: float = 0.995
+
+    # ---- model: MGCN encoder (reference main.py:33-36) ----
+    bias: bool = False
+    gcn_in_dim: int = 100
+    gcn_out_dim: int = 200
+    gcn_drop: float = 0.3
+    conv_drop: float = 0.1           # MGCNConv internal dropout (model.py:49,57)
+
+    # ---- model: ConvE decoder (reference main.py:37-42) ----
+    hidden_drop: float = 0.3
+    feat_drop: float = 0.3
+    k_w: int = 10
+    k_h: int = 20
+    num_filter: int = 200
+    kernel_size: int = 7
+
+    # ---- model family selection (framework extension; BASELINE.json configs) ----
+    model: str = "mgcn"              # mgcn | rgcn
+    decoder: str = "conve"           # conve | distmult
+    num_layers: int = 1              # encoder depth (reference is fixed at 1)
+    num_bases: int = 0               # >0: basis-decomposed relation weights (rgcn)
+    num_blocks: int = 0              # >0: block-diagonal relation weights (rgcn)
+
+    # ---- training mode (framework extension) ----
+    train_mode: str = "one_vs_all"   # one_vs_all | negative_sampling
+    num_negatives: int = 64          # negatives per positive in negative_sampling mode
+    edge_sample_size: int = 0        # >0: per-step on-device edge subsampling
+
+    # ---- TPU execution ----
+    compute_dtype: str = "float32"   # float32 | bfloat16 (matmul inputs)
+    use_pallas: bool = False         # fused Pallas SpMM for relational aggregation
+    agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
+    scan_epoch: bool = True          # run the whole epoch as one lax.scan
+    eval_batch_size: int = 0         # 0: use batch_size
+    data_axis: int = 1               # mesh: batch sharding
+    graph_axis: int = 1              # mesh: edge partitioning
+
+    # ---- bookkeeping ----
+    do_train: bool = False
+    do_test: bool = False
+    experiments_dir: str = "experiments"
+    data_dir: str = "data"
+
+    @property
+    def label_key(self) -> str:
+        return f"{self.dataset}-labels"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=4)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+
+# Historical tuning from the reference's checked-in experiment snapshots
+# (reference experiments/WN18RR/params.json, experiments/FB15k-237/params.json,
+# experiments/Toy/params.json — stale files, but they record the tuned values;
+# see SURVEY.md §2.4.1).
+_PRESETS = {
+    "WN18RR": dict(learning_rate=0.002, max_epoch=500, eval_every=2,
+                   gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3),
+    "FB15k-237": dict(learning_rate=0.003, max_epoch=400, eval_every=2,
+                      gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3),
+    "Toy": dict(seed=2020, batch_size=2, max_epoch=500, min_epoch=500,
+                eval_every=1, patience=0.01, patience_num=10),
+}
+
+
+def dataset_preset(dataset: str, **overrides) -> Config:
+    """Config with per-dataset tuned defaults, reference-compatible."""
+    kw = dict(_PRESETS.get(dataset, {}))
+    kw["dataset"] = dataset
+    kw.update(overrides)
+    return Config(**kw)

@@ -1,0 +1,148 @@
+"""Device-resident graph container.
+
+The reference keeps a PyG ``Data`` object with a ``[2, 2E]`` edge index, per-edge
+``(rel, edge_id)`` attributes, and recomputes symmetric degree norms inside every
+forward pass (reference model.py:96-97, data_loader.py:132-157).  Here the graph
+is a frozen pytree of static-shape ``int32``/``float32`` arrays, built once on
+the host:
+
+  * the bidirectional edge list is split into its two halves up front — the
+    "in" half is the original orientation ``(src → dst, rel)``, the "out" half
+    is the reversed orientation ``(dst → src, rel + R)`` (reference
+    model.py:88-90, data_loader.py:144-145);
+  * each half is sorted by destination (CSR order) so on-device aggregation is
+    a sorted segment-sum / tiled Pallas kernel, and a row-pointer array is kept;
+  * the degree norms are precomputed at build time — they are static per graph,
+    so recomputing them per forward (as the reference does) is pure waste.  The
+    reference's exact formula is kept: degree is counted over ROW occurrences
+    of the half only, but indexed at both endpoints (model.py:72-80 — note this
+    is NOT a textbook symmetric norm; SURVEY.md §2.4.10);
+  * edge arrays are padded to a multiple of ``pad_to`` with zero-norm entries so
+    shapes stay static and shard evenly across a device mesh.
+
+Self-loop messages never appear here: the reference materializes N loop edges
+with a shared loop relation (model.py:93-94); because loop edges are the
+identity map, their aggregation is a dense elementwise op — no scatter needed
+(see kgc_gcn_tpu.ops.scatter.loop_messages).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GraphHalf:
+    """One direction of the bidirectional edge list, CSR-sorted by dst.
+
+    ``sperm``/``s_indptr`` give the same edges sorted by SOURCE: the backward
+    pass of aggregation scatters gradients into ``x[src]``, and the Pallas
+    segment-sum kernel needs sorted segments — so both orders are precomputed.
+    """
+
+    src: jax.Array       # int32 (E_pad,)
+    dst: jax.Array       # int32 (E_pad,) — non-decreasing
+    rel: jax.Array       # int32 (E_pad,) — relation id (out half: rel + R)
+    eid: jax.Array       # int32 (E_pad,) — index into the per-edge embedding table
+    norm: jax.Array      # float32 (E_pad,) — precomputed degree norm; 0 on padding
+    indptr: jax.Array    # int32 (N + 1,) — CSR row pointers over dst
+    sperm: jax.Array     # int32 (E_pad,) — permutation making src sorted
+    s_indptr: jax.Array  # int32 (N + 1,) — CSR row pointers over src[sperm]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Graph:
+    inb: GraphHalf       # original orientation (src, rel, dst)
+    outb: GraphHalf      # reversed orientation (dst, rel + R, src)
+    n_ent: int = _static(default=0)
+    n_rel: int = _static(default=0)   # R; relation tables hold 2R (+1 loop)
+    n_edge: int = _static(default=0)  # E = true (unpadded) edges per half
+    e_pad: int = _static(default=0)   # padded edge count per half
+
+    @property
+    def num_messages(self) -> int:
+        """Edges aggregated per forward pass (both halves + N self-loops)."""
+        return 2 * self.n_edge + self.n_ent
+
+
+def _reference_norm(row: np.ndarray, col: np.ndarray, n_ent: int) -> np.ndarray:
+    """deg^-1/2[row] * deg^-1/2[col], degree over row occurrences only
+    (reference model.py:72-80)."""
+    deg = np.zeros(n_ent, dtype=np.float32)
+    np.add.at(deg, row, 1.0)
+    with np.errstate(divide="ignore"):
+        dinv = deg ** -0.5
+    dinv[np.isinf(dinv)] = 0.0
+    return (dinv[row] * dinv[col]).astype(np.float32)
+
+
+def _build_half(src, dst, rel, eid, n_ent: int, pad_to: int) -> GraphHalf:
+    e = len(src)
+    norm = _reference_norm(src, dst, n_ent)
+    order = np.argsort(dst, kind="stable")
+    src, dst, rel, eid, norm = (a[order] for a in (src, dst, rel, eid, norm))
+
+    e_pad = max(pad_to, -(-e // pad_to) * pad_to)
+    pad = e_pad - e
+    if pad:
+        # zero-norm padding: contributes nothing to the segment sum
+        src = np.concatenate([src, np.zeros(pad, src.dtype)])
+        dst = np.concatenate([dst, np.full(pad, n_ent - 1, dst.dtype)])
+        rel = np.concatenate([rel, np.zeros(pad, rel.dtype)])
+        eid = np.concatenate([eid, np.zeros(pad, eid.dtype)])
+        norm = np.concatenate([norm, np.zeros(pad, norm.dtype)])
+
+    def csr_pointers(idx):
+        ptr = np.zeros(n_ent + 1, dtype=np.int32)
+        ptr[1:] = np.cumsum(np.bincount(idx, minlength=n_ent))
+        return ptr
+
+    indptr = csr_pointers(dst)           # padding lands in row n_ent - 1
+    sperm = np.argsort(src, kind="stable").astype(np.int32)
+    s_indptr = csr_pointers(src)         # padding (src=0) lands in row 0
+
+    return GraphHalf(
+        src=jnp.asarray(src, jnp.int32),
+        dst=jnp.asarray(dst, jnp.int32),
+        rel=jnp.asarray(rel, jnp.int32),
+        eid=jnp.asarray(eid, jnp.int32),
+        norm=jnp.asarray(norm, jnp.float32),
+        indptr=jnp.asarray(indptr, jnp.int32),
+        sperm=jnp.asarray(sperm, jnp.int32),
+        s_indptr=jnp.asarray(s_indptr, jnp.int32),
+    )
+
+
+def build_graph(
+    train_triples: np.ndarray,
+    n_ent: int,
+    n_rel: int,
+    pad_to: int = 128,
+) -> Graph:
+    """Build the bidirectional training graph (reference data_loader.py:132-157).
+
+    Edge ids: forward edge i gets id ``i``, its reverse gets ``E + i`` —
+    matching the reference's ``arange(2E)`` over the concatenated list
+    (data_loader.py:148).
+    """
+    tri = np.asarray(train_triples)
+    src, rel, dst = tri[:, 0].astype(np.int32), tri[:, 1].astype(np.int32), tri[:, 2].astype(np.int32)
+    e = len(src)
+    eid = np.arange(e, dtype=np.int32)
+
+    inb = _build_half(src, dst, rel, eid, n_ent, pad_to)
+    outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, pad_to)
+
+    return Graph(inb=inb, outb=outb, n_ent=n_ent, n_rel=n_rel,
+                 n_edge=e, e_pad=int(inb.src.shape[0]))

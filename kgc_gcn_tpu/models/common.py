@@ -1,0 +1,114 @@
+"""Shared model building blocks: initializers, BatchNorm, dropout.
+
+All functional — parameters and mutable statistics are plain pytrees, so the
+whole model jits/pjits cleanly.  Semantics deliberately match torch where the
+reference relies on them:
+
+  * ``xavier_uniform``: bound ``sqrt(6/(fan_in+fan_out))`` with torch's 2-D fan
+    convention ``fan_in = shape[1], fan_out = shape[0]`` (reference
+    utils.py:113-118 applies this to every embedding/weight).
+  * BatchNorm: torch eps 1e-5, momentum 0.1; normalization uses the BIASED
+    batch variance, the running-var update uses the UNBIASED one; eval mode
+    uses running statistics (reference model.py:56,137-139).
+  * Dropout: inverted scaling ``kept / (1 - p)`` during training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- initializers
+
+def xavier_uniform(key: jax.Array, shape: Tuple[int, ...],
+                   dtype=jnp.float32) -> jax.Array:
+    fan_in = int(np.prod(shape[1:]))
+    fan_out = shape[0] * (int(np.prod(shape[2:])) if len(shape) > 2 else 1)
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def kaiming_uniform_torch(key: jax.Array, shape: Tuple[int, ...],
+                          dtype=jnp.float32) -> jax.Array:
+    """torch's default Linear/Conv2d weight init (kaiming_uniform, a=sqrt(5)).
+
+    For weight shape (out, in, *rf): bound = 1/sqrt(fan_in).
+    """
+    fan_in = int(np.prod(shape[1:]))
+    bound = float(1.0 / np.sqrt(fan_in))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def fan_in_bias_uniform(key: jax.Array, size: int, fan_in: int,
+                        dtype=jnp.float32) -> jax.Array:
+    bound = float(1.0 / np.sqrt(fan_in))
+    return jax.random.uniform(key, (size,), dtype, minval=-bound, maxval=bound)
+
+
+# ------------------------------------------------------------------- BatchNorm
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BNParams:
+    scale: jax.Array   # gamma (C,)
+    bias: jax.Array    # beta (C,)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BNState:
+    mean: jax.Array    # running mean (C,)
+    var: jax.Array     # running var (C,), unbiased
+
+
+def bn_init(c: int) -> Tuple[BNParams, BNState]:
+    return (BNParams(scale=jnp.ones(c), bias=jnp.zeros(c)),
+            BNState(mean=jnp.zeros(c), var=jnp.ones(c)))
+
+
+def batch_norm(
+    x: jax.Array,
+    params: BNParams,
+    state: BNState,
+    *,
+    train: bool,
+    channel_axis: int = -1,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, BNState]:
+    """Functional BatchNorm over all axes except ``channel_axis``."""
+    axes = tuple(i for i in range(x.ndim) if i != channel_axis % x.ndim)
+    shape = [1] * x.ndim
+    shape[channel_axis % x.ndim] = x.shape[channel_axis]
+
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x - mean.reshape(shape)), axis=axes)
+        n = float(np.prod([x.shape[i] for i in axes]))
+        unbiased = var * (n / max(n - 1.0, 1.0))
+        new_state = BNState(
+            mean=(1 - momentum) * state.mean + momentum * mean,
+            var=(1 - momentum) * state.var + momentum * unbiased,
+        )
+    else:
+        mean, var, new_state = state.mean, state.var, state
+
+    inv = jax.lax.rsqrt(var.reshape(shape) + eps)
+    y = (x - mean.reshape(shape)) * inv
+    return y * params.scale.reshape(shape) + params.bias.reshape(shape), new_state
+
+
+# --------------------------------------------------------------------- dropout
+
+def dropout(x: jax.Array, rate: float, key: Optional[jax.Array],
+            train: bool) -> jax.Array:
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

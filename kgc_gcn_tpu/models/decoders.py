@@ -1,0 +1,223 @@
+"""Scoring decoders: ConvE (reference parity) and DistMult (framework family).
+
+Both return LOGITS over all entities; the reference applies a sigmoid at the
+end of ConvE (model.py:179) but sigmoid is monotonic, so ranking is unchanged
+and the loss uses the fused logits-space BCE (ops/losses.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kgc_gcn_tpu.config import Config
+from kgc_gcn_tpu.models.common import (
+    BNParams, BNState, batch_norm, bn_init, dropout,
+    fan_in_bias_uniform, kaiming_uniform_torch,
+)
+
+
+# ------------------------------------------------------------------------ ConvE
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ConvEParams:
+    bn0: BNParams
+    conv_w: jax.Array                  # (num_filter, 1, k, k) — OIHW
+    conv_b: Optional[jax.Array]        # (num_filter,) iff cfg.bias
+    bn1: BNParams
+    fc_w: jax.Array                    # (gcn_out_dim, flat_sz) — torch (out, in)
+    fc_b: jax.Array                    # (gcn_out_dim,)
+    bn2: BNParams
+    ent_bias: jax.Array                # (N,) per-entity score bias
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ConvEState:
+    bn0: BNState
+    bn1: BNState
+    bn2: BNState
+
+
+def conve_flat_size(cfg: Config) -> int:
+    """(2*k_w - k + 1) * (k_h - k + 1) * num_filter (reference model.py:152-154)."""
+    h = 2 * cfg.k_w - cfg.kernel_size + 1
+    w = cfg.k_h - cfg.kernel_size + 1
+    return h * w * cfg.num_filter
+
+
+def conve_init(key: jax.Array, cfg: Config, n_ent: int) -> Tuple[ConvEParams, ConvEState]:
+    if 2 * cfg.k_w * cfg.k_h != 2 * cfg.gcn_out_dim:
+        raise ValueError(
+            f"ConvE reshape needs k_w*k_h == gcn_out_dim, got "
+            f"{cfg.k_w}*{cfg.k_h} != {cfg.gcn_out_dim}")
+    kc, kcb, kf, kfb = jax.random.split(key, 4)
+    flat = conve_flat_size(cfg)
+    p0, s0 = bn_init(1)
+    p1, s1 = bn_init(cfg.num_filter)
+    p2, s2 = bn_init(cfg.gcn_out_dim)
+    conv_shape = (cfg.num_filter, 1, cfg.kernel_size, cfg.kernel_size)
+    params = ConvEParams(
+        bn0=p0,
+        conv_w=kaiming_uniform_torch(kc, conv_shape),
+        conv_b=(fan_in_bias_uniform(kcb, cfg.num_filter,
+                                    cfg.kernel_size * cfg.kernel_size)
+                if cfg.bias else None),
+        bn1=p1,
+        fc_w=kaiming_uniform_torch(kf, (cfg.gcn_out_dim, flat)),
+        fc_b=fan_in_bias_uniform(kfb, cfg.gcn_out_dim, flat),
+        bn2=p2,
+        ent_bias=jnp.zeros(n_ent),
+    )
+    return params, ConvEState(bn0=s0, bn1=s1, bn2=s2)
+
+
+def conve_query(
+    params: ConvEParams,
+    state: ConvEState,
+    cfg: Config,
+    src_emb: jax.Array,    # (B, gcn_out_dim)
+    rel_emb: jax.Array,    # (B, gcn_out_dim)
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, ConvEState]:
+    """Decoder trunk: query vector h (B, gcn_out_dim) before entity scoring.
+
+    Reference model.py:159-175, in logits space.  Image layout is bit-identical
+    to the reference: stack (B,2,d), transpose to (B,d,2) and row-major reshape
+    to (B,1,2*k_w,k_h) — i.e. src/rel feature pairs interleaved along rows
+    (model.py:161-164).
+    """
+    rngs = rngs or {}
+    b = src_emb.shape[0]
+    stack = jnp.stack([src_emb, rel_emb], axis=1)            # (B, 2, d)
+    img = jnp.transpose(stack, (0, 2, 1)).reshape(
+        b, 1, 2 * cfg.k_w, cfg.k_h)
+
+    x, ns0 = batch_norm(img, params.bn0, state.bn0, train=train, channel_axis=1)
+    x = jax.lax.conv_general_dilated(
+        x.astype(params.conv_w.dtype), params.conv_w,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    if params.conv_b is not None:
+        x = x + params.conv_b[None, :, None, None]
+    x, ns1 = batch_norm(x, params.bn1, state.bn1, train=train, channel_axis=1)
+    x = jax.nn.relu(x)
+    x = dropout(x, cfg.feat_drop, rngs.get("feat"), train)
+    x = x.reshape(b, -1)                                     # (B, flat)
+    x = x @ params.fc_w.T + params.fc_b
+    x = dropout(x, cfg.hidden_drop, rngs.get("hidden"), train)
+    x, ns2 = batch_norm(x, params.bn2, state.bn2, train=train, channel_axis=-1)
+    x = jax.nn.relu(x)
+    return x, ConvEState(bn0=ns0, bn1=ns1, bn2=ns2)
+
+
+def conve_apply(
+    params: ConvEParams,
+    state: ConvEState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    all_ent: jax.Array,    # (N, gcn_out_dim)
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, ConvEState]:
+    """Full 1-vs-all scoring: trunk + B x d x N matmul (reference model.py:177-178)."""
+    h, new_state = conve_query(params, state, cfg, src_emb, rel_emb,
+                               train=train, rngs=rngs)
+    logits = h @ all_ent.T + params.ent_bias[None, :]        # (B, N) on MXU
+    return logits, new_state
+
+
+def conve_score_candidates(
+    params: ConvEParams,
+    state: ConvEState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    cand_emb: jax.Array,   # (B, K, gcn_out_dim) candidate entity embeddings
+    cand_idx: jax.Array,   # (B, K) candidate entity ids (for the bias)
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, ConvEState]:
+    """Score only K sampled candidates per query (negative-sampling training)."""
+    h, new_state = conve_query(params, state, cfg, src_emb, rel_emb,
+                               train=train, rngs=rngs)
+    logits = jnp.einsum("bd,bkd->bk", h, cand_emb,
+                        preferred_element_type=jnp.float32)
+    return logits + params.ent_bias[cand_idx], new_state
+
+
+# --------------------------------------------------------------------- DistMult
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistMultParams:
+    ent_bias: jax.Array    # (N,)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistMultState:
+    pass
+
+
+def distmult_init(key: jax.Array, cfg: Config, n_ent: int
+                  ) -> Tuple[DistMultParams, DistMultState]:
+    del key
+    return DistMultParams(ent_bias=jnp.zeros(n_ent)), DistMultState()
+
+
+def distmult_apply(
+    params: DistMultParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    all_ent: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    """score(s, r, o) = <e_s * w_r, e_o> + b_o, batched as one MXU matmul."""
+    del rngs
+    logits = (src_emb * rel_emb) @ all_ent.T + params.ent_bias[None, :]
+    return logits, state
+
+
+def distmult_score_candidates(
+    params: DistMultParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    cand_emb: jax.Array,
+    cand_idx: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    logits = jnp.einsum("bd,bkd->bk", src_emb * rel_emb, cand_emb,
+                        preferred_element_type=jnp.float32)
+    return logits + params.ent_bias[cand_idx], state
+
+
+DECODERS = {
+    "conve": (conve_init, conve_apply),
+    "distmult": (distmult_init, distmult_apply),
+}
+
+CANDIDATE_SCORERS = {
+    "conve": conve_score_candidates,
+    "distmult": distmult_score_candidates,
+}

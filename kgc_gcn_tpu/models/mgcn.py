@@ -1,0 +1,237 @@
+"""M-GCN: relational message-passing encoder with per-edge embeddings + decoder.
+
+Functional re-design of the reference model (reference model.py:10-127):
+
+  * ``MGCN`` holds three xavier-initialized embedding tables — entities
+    ``(N, d_in)``, relations ``(2R, d_in)``, and one learned embedding PER
+    EDGE ``(2E, d_in)`` (model.py:16-18) — one relational conv layer, and a
+    scoring decoder.
+  * The conv layer composes ``x[src] * rel_emb * edge_emb``, projects with
+    direction-typed weights (in/out/loop), aggregates with the reference's
+    degree norm, averages the three direction results ``(drop(in) + drop(out)
+    + loop) / 3``, applies BatchNorm then tanh, and projects relations with
+    ``rels_weight`` dropping the appended loop relation (model.py:82-118).
+  * TPU-native schedule: projection pulled out of the edge loop (see
+    ops/scatter.py), self-loops as a dense op, norms precomputed in the graph,
+    the whole forward one jit region.
+
+``encode`` and ``decode`` are split so evaluation can encode the graph ONCE
+and score every batch against the cached entity matrix — the reference
+re-encodes the full graph for every eval batch (main.py:121, model.py:24-40),
+which is pure waste since eval is deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kgc_gcn_tpu.config import Config
+from kgc_gcn_tpu.data.graph import Graph
+from kgc_gcn_tpu.models.common import (
+    BNParams, BNState, batch_norm, bn_init, dropout, xavier_uniform,
+)
+from kgc_gcn_tpu.models.decoders import DECODERS
+from kgc_gcn_tpu.ops.scatter import aggregate_half, loop_messages
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MGCNConvParams:
+    """Direction-typed relational conv weights (reference model.py:60-65)."""
+
+    in_weight: jax.Array     # (d_in, d_out)
+    out_weight: jax.Array    # (d_in, d_out)
+    loop_weight: jax.Array   # (d_in, d_out)
+    rels_weight: jax.Array   # (d_in, d_out)
+    loop_rel: jax.Array      # (1, d_in)
+    loop_edge: jax.Array     # (1, d_in)
+    bn: BNParams
+    bias: Optional[jax.Array]  # (d_out,) — reference never enables (model.py:20)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MGCNParams:
+    entity_embedding: jax.Array     # (N, d_in)
+    relation_embedding: jax.Array   # (2R, d_in)
+    edge_embeddings: jax.Array      # (2E, d_in)
+    conv: MGCNConvParams
+    decoder: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MGCNState:
+    conv_bn: BNState
+    decoder: Any
+
+
+class MGCN:
+    """Model family 'mgcn' — reference-parity encoder + pluggable decoder."""
+
+    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
+        self.cfg = cfg
+        self.n_ent = n_ent
+        self.n_rel = n_rel
+        self.n_edge = n_edge
+        self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array) -> Tuple[MGCNParams, MGCNState]:
+        cfg = self.cfg
+        keys = jax.random.split(key, 10)
+        bn_p, bn_s = bn_init(cfg.gcn_out_dim)
+        conv = MGCNConvParams(
+            in_weight=xavier_uniform(keys[0], (cfg.gcn_in_dim, cfg.gcn_out_dim)),
+            out_weight=xavier_uniform(keys[1], (cfg.gcn_in_dim, cfg.gcn_out_dim)),
+            loop_weight=xavier_uniform(keys[2], (cfg.gcn_in_dim, cfg.gcn_out_dim)),
+            rels_weight=xavier_uniform(keys[3], (cfg.gcn_in_dim, cfg.gcn_out_dim)),
+            loop_rel=xavier_uniform(keys[4], (1, cfg.gcn_in_dim)),
+            loop_edge=xavier_uniform(keys[5], (1, cfg.gcn_in_dim)),
+            bn=bn_p,
+            bias=None,
+        )
+        dec_p, dec_s = self._dec_init(keys[6], cfg, self.n_ent)
+        params = MGCNParams(
+            entity_embedding=xavier_uniform(
+                keys[7], (self.n_ent, cfg.gcn_in_dim)),
+            relation_embedding=xavier_uniform(
+                keys[8], (2 * self.n_rel, cfg.gcn_in_dim)),
+            edge_embeddings=xavier_uniform(
+                keys[9], (2 * self.n_edge, cfg.gcn_in_dim)),
+            conv=conv,
+            decoder=dec_p,
+        )
+        return params, MGCNState(conv_bn=bn_s, decoder=dec_s)
+
+    # ---------------------------------------------------------------- encode
+
+    def encode(
+        self,
+        params: MGCNParams,
+        state: MGCNState,
+        graph: Graph,
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[jax.Array, jax.Array, BNState]:
+        """Full-graph encoder → (all_ent (N, d_out), all_rel (2R, d_out), bn_state)."""
+        cfg = self.cfg
+        rngs = rngs or {}
+        c = params.conv
+
+        x = params.entity_embedding
+        rel_all = jnp.concatenate([params.relation_embedding, c.loop_rel], axis=0)
+        edge_tab = params.edge_embeddings
+
+        if cfg.use_pallas:
+            from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
+            interp = jax.default_backend() != "tpu"
+            in_agg = aggregate_half_pallas(
+                x, rel_all, edge_tab, graph.inb, self.n_ent, interp)
+            out_agg = aggregate_half_pallas(
+                x, rel_all, edge_tab, graph.outb, self.n_ent, interp)
+            in_res = in_agg @ c.in_weight
+            out_res = out_agg @ c.out_weight
+        elif cfg.agg_schedule == "reference":
+            from kgc_gcn_tpu.ops.scatter import aggregate_half_reference_schedule
+            in_res = aggregate_half_reference_schedule(
+                x, rel_all, edge_tab, graph.inb, c.in_weight, self.n_ent)
+            out_res = aggregate_half_reference_schedule(
+                x, rel_all, edge_tab, graph.outb, c.out_weight, self.n_ent)
+        else:
+            in_agg = aggregate_half(x, rel_all, edge_tab, graph.inb, self.n_ent)
+            out_agg = aggregate_half(x, rel_all, edge_tab, graph.outb, self.n_ent)
+            in_res = in_agg @ c.in_weight
+            out_res = out_agg @ c.out_weight
+        loop_res = loop_messages(x, c.loop_rel, c.loop_edge) @ c.loop_weight
+
+        # (drop(in) + drop(out) + loop) / 3 — loop messages are NOT dropped
+        # (reference model.py:103)
+        out = (dropout(in_res, cfg.conv_drop, rngs.get("conv_in"), train)
+               + dropout(out_res, cfg.conv_drop, rngs.get("conv_out"), train)
+               + loop_res) / 3.0
+        if c.bias is not None:
+            out = out + c.bias
+        out, bn_state = batch_norm(out, c.bn, state.conv_bn, train=train)
+        all_ent = jnp.tanh(out)
+
+        # relation projection, dropping the appended loop relation
+        # (reference model.py:107)
+        all_rel = (rel_all @ c.rels_weight)[:-1]
+
+        # post-encoder entity dropout (reference model.py:34) — applied before
+        # BOTH the src gather and the all-entity scoring matmul
+        all_ent = dropout(all_ent, cfg.gcn_drop, rngs.get("gcn"), train)
+        return all_ent, all_rel, bn_state
+
+    # ---------------------------------------------------------------- decode
+
+    def decode(
+        self,
+        params: MGCNParams,
+        state: MGCNState,
+        all_ent: jax.Array,
+        all_rel: jax.Array,
+        src: jax.Array,
+        rel: jax.Array,
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[jax.Array, Any]:
+        src_emb = all_ent[src]
+        rel_emb = all_rel[rel]
+        return self._dec_apply(
+            params.decoder, state.decoder, self.cfg, src_emb, rel_emb, all_ent,
+            train=train, rngs=rngs)
+
+    def score_candidates(
+        self,
+        params: MGCNParams,
+        state: MGCNState,
+        all_ent: jax.Array,
+        all_rel: jax.Array,
+        src: jax.Array,       # (B,)
+        rel: jax.Array,       # (B,)
+        cand: jax.Array,      # (B, K) candidate entity ids
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[jax.Array, Any]:
+        """Score K sampled candidates per query (negative-sampling mode)."""
+        from kgc_gcn_tpu.models.decoders import CANDIDATE_SCORERS
+        scorer = CANDIDATE_SCORERS[self.cfg.decoder]
+        return scorer(
+            params.decoder, state.decoder, self.cfg,
+            all_ent[src], all_rel[rel], all_ent[cand], cand,
+            train=train, rngs=rngs)
+
+    # ----------------------------------------------------------------- apply
+
+    def apply(
+        self,
+        params: MGCNParams,
+        state: MGCNState,
+        graph: Graph,
+        src: jax.Array,
+        rel: jax.Array,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, MGCNState]:
+        """Full forward: (B,) src/rel query → (B, N) logits over all entities."""
+        rngs = {}
+        if rng is not None:
+            names = ("conv_in", "conv_out", "gcn", "feat", "hidden")
+            rngs = dict(zip(names, jax.random.split(rng, len(names))))
+        all_ent, all_rel, bn_state = self.encode(
+            params, state, graph, train=train, rngs=rngs)
+        logits, dec_state = self.decode(
+            params, state, all_ent, all_rel, src, rel, train=train, rngs=rngs)
+        return logits, MGCNState(conv_bn=bn_state, decoder=dec_state)

@@ -1,0 +1,60 @@
+"""Training losses.
+
+The reference computes ``BCELoss(sigmoid(x), y)`` — a sigmoid followed by a
+probability-space BCE (reference model.py:22,179; main.py:62), which is
+numerically fragile (log of a saturated sigmoid).  We keep the model in logits
+space and use the standard fused, stable formulation; the two are
+mathematically identical:
+
+    BCE(sigmoid(x), y) = max(x, 0) - x*y + log(1 + exp(-|x|))
+
+Row masking supports padded final batches: torch's mean is over all B*N
+elements (main.py:62), so the masked mean divides by ``valid_rows * N``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(
+    logits: jax.Array,               # (B, N)
+    targets: jax.Array,              # (B, N) in [0, 1]
+    row_mask: Optional[jax.Array] = None,  # (B,) 1.0 valid / 0.0 padding
+) -> jax.Array:
+    per = (jnp.maximum(logits, 0.0) - logits * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    if row_mask is None:
+        return jnp.mean(per)
+    w = row_mask[:, None]
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per.shape[1]
+    return jnp.sum(per * w) / denom
+
+
+def margin_ranking_loss(
+    pos_scores: jax.Array,   # (B,)
+    neg_scores: jax.Array,   # (B, K)
+    margin: float = 1.0,
+    row_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Hinge loss for negative-sampling training (framework extension)."""
+    per = jnp.maximum(0.0, margin - pos_scores[:, None] + neg_scores)
+    if row_mask is None:
+        return jnp.mean(per)
+    w = row_mask[:, None]
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per.shape[1]
+    return jnp.sum(per * w) / denom
+
+
+def sampled_bce_with_logits(
+    pos_logits: jax.Array,   # (B,)
+    neg_logits: jax.Array,   # (B, K)
+    row_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """BCE over one positive + K sampled negatives per query."""
+    logits = jnp.concatenate([pos_logits[:, None], neg_logits], axis=1)
+    targets = jnp.zeros_like(logits).at[:, 0].set(1.0)
+    return bce_with_logits(logits, targets, row_mask)

@@ -1,0 +1,73 @@
+"""Filtered ranking and link-prediction metrics, fully on device.
+
+The reference ranks with a double argsort over the ``(B, N)`` score matrix —
+``1 + argsort(argsort(pred, desc), asc)[b, obj]`` (reference main.py:122-126)
+— an ``O(N log N)`` sort per row.  On TPU the rank of one known target needs
+no sort at all: it is a comparison count,
+
+    rank = 1 + #{ e : masked_score[e] > score[obj] },
+
+an ``O(N)`` VPU reduction that XLA fuses with the masking.  The two agree
+whenever scores are distinct; under exact float ties torch's (unstable)
+argsort places the target arbitrarily, while the comparison count is the
+optimistic rank — the standard convention.
+
+Filtering matches main.py:123-125: score the target, push every known-true
+entity to -inf (reference uses -1e7), restore the target.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def filtered_ranks(
+    scores: jax.Array,       # (B, N) — any monotonic score (logits are fine)
+    obj: jax.Array,          # (B,) gold entity
+    filter_idx: jax.Array,   # (B, L) known-true entities, padded with N
+) -> jax.Array:
+    b = scores.shape[0]
+    rows = jnp.arange(b)
+    target = scores[rows, obj]
+    masked = scores.at[rows[:, None], filter_idx].set(-jnp.inf, mode="drop")
+    ranks = 1 + jnp.sum(masked > target[:, None], axis=1)
+    return ranks
+
+
+def rank_metrics(
+    ranks: jax.Array,                 # (B,) int
+    row_mask: jax.Array,              # (B,) 1.0 valid / 0.0 padding
+    hits_at: int = 10,
+) -> Dict[str, jax.Array]:
+    """Partial sums for one batch (reference main.py:129-133).
+
+    Keys: count, mr, mrr, hits@1..hits@{hits_at} — all SUMS, to be combined
+    across tail/head passes as in reference main.py:91-97.
+    """
+    r = ranks.astype(jnp.float32)
+    out = {
+        "count": jnp.sum(row_mask),
+        "mr": jnp.sum(r * row_mask),
+        "mrr": jnp.sum(row_mask / r),
+    }
+    for k in range(1, hits_at + 1):
+        out[f"hits@{k}"] = jnp.sum(jnp.where(r <= k, row_mask, 0.0))
+    return out
+
+
+def combine_head_tail(
+    tail: Dict[str, float], head: Dict[str, float], hits: Sequence[int] = (1, 3, 10)
+) -> Dict[str, float]:
+    """Average tail- and head-direction sums (reference main.py:84-97)."""
+    count = float(tail["count"])
+    res = {
+        "mr": round((float(tail["mr"]) + float(head["mr"])) / (2 * count), 5),
+        "mrr": round((float(tail["mrr"]) + float(head["mrr"])) / (2 * count), 5),
+    }
+    for k in hits:
+        res[f"hits@{k}"] = round(
+            (float(tail[f"hits@{k}"]) + float(head[f"hits@{k}"])) / (2 * count), 5)
+    return res

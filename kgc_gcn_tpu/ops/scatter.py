@@ -1,0 +1,96 @@
+"""Relational message aggregation.
+
+The reference's hot op is PyG ``propagate``: gather ``x[src]``, compose with
+relation + per-edge embeddings, project by a direction-typed dense weight,
+scale by the degree norm, scatter-add into ``dst`` (reference model.py:99-118,
+via torch-scatter's CUDA ``scatter_add``).
+
+TPU-native restructuring (the math is identical, the schedule is not):
+
+  * The dense projection is pulled OUT of the edge loop.  Since
+    ``(Σ_e m_e) @ W == Σ_e (m_e @ W)`` and the norm is a per-edge scalar, we
+    compose+scale per edge in ``in_dim`` (VPU work), segment-sum into
+    ``(N, in_dim)``, and apply one ``(N, in_dim) @ (in_dim, out_dim)`` matmul
+    on the MXU.  This cuts projection FLOPs from ``O(E·d_in·d_out)`` to
+    ``O(N·d_in·d_out)`` and scatters 100-dim rows instead of 200-dim.
+  * Edges are CSR-sorted by destination at graph build, so the segment-sum is
+    a sorted reduction XLA lowers efficiently (and the Pallas kernel in
+    ``ops/spmm_pallas.py`` tiles destination rows into VMEM).
+  * Self-loop "edges" (reference model.py:91-94: N identity edges sharing one
+    loop relation/edge embedding) need no scatter at all — their aggregation
+    is a dense elementwise product (``loop_messages``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from kgc_gcn_tpu.data.graph import GraphHalf
+
+
+def compose_messages(
+    x: jax.Array,          # (N, d_in) entity embeddings
+    rel_all: jax.Array,    # (2R + 1, d_in) relation embeddings (+ loop row)
+    edge_tab: jax.Array,   # (2E, d_in) per-edge embeddings
+    half: GraphHalf,
+) -> jax.Array:
+    """Per-edge composed message ``x[src] * rel[rel] * edge[eid] * norm``.
+
+    Element-wise (CompGCN-mult style) composition incl. the learned per-edge
+    embedding — reference model.py:111-118 — with the norm folded in here so
+    the projection can happen after aggregation.
+    """
+    msg = x[half.src] * rel_all[half.rel] * edge_tab[half.eid]
+    return msg * half.norm[:, None]
+
+
+def aggregate_half(
+    x: jax.Array,
+    rel_all: jax.Array,
+    edge_tab: jax.Array,
+    half: GraphHalf,
+    n_ent: int,
+) -> jax.Array:
+    """Compose + scatter-add one direction half; returns ``(N, d_in)``.
+
+    Padding edges have ``norm == 0`` and contribute nothing.
+    """
+    msg = compose_messages(x, rel_all, edge_tab, half)
+    return jax.ops.segment_sum(
+        msg, half.dst, num_segments=n_ent, indices_are_sorted=True)
+
+
+def aggregate_half_reference_schedule(
+    x: jax.Array,
+    rel_all: jax.Array,
+    edge_tab: jax.Array,
+    half: GraphHalf,
+    weight: jax.Array,     # (d_in, d_out) direction weight
+    n_ent: int,
+) -> jax.Array:
+    """Faithful translation of the reference's schedule, kept for benchmarking.
+
+    Projects EVERY edge message through the dense weight (O(E*d_in*d_out), as
+    PyG does in ``message()``, reference model.py:111-118) and scatter-adds in
+    d_out without exploiting sort order.  Returns ``(N, d_out)`` — note the
+    fused path returns ``(N, d_in)`` and projects after aggregation.
+    """
+    msg = (x[half.src] * rel_all[half.rel] * edge_tab[half.eid]) @ weight
+    msg = msg * half.norm[:, None]
+    return jax.ops.segment_sum(msg, half.dst, num_segments=n_ent)
+
+
+def loop_messages(
+    x: jax.Array,          # (N, d_in)
+    loop_rel: jax.Array,   # (1, d_in)
+    loop_edge: jax.Array,  # (1, d_in)
+) -> jax.Array:
+    """Aggregated self-loop messages, as a dense op.
+
+    Reference model.py:91-94,101 materializes N identity edges with a shared
+    loop relation id and a broadcast ``loop_edge`` embedding and runs them
+    through the same gather/scatter path with ``norm=None``.  Because the edge
+    map is the identity, the scatter IS the elementwise product.
+    """
+    return x * loop_rel * loop_edge

@@ -1,0 +1,214 @@
+"""Fused Pallas TPU kernel: CSR segment-sum via blocked one-hot MXU matmuls.
+
+The hot op of the whole framework is the edge->node aggregation (the
+reference runs it through torch-scatter's CUDA ``scatter_add``, model.py:99-101
+via PyG propagate).  XLA:TPU lowers ``segment_sum`` to a scatter, which the
+TPU executes mostly serially.  This kernel instead turns the aggregation into
+dense MXU work:
+
+  * edges are CSR-sorted by destination (data/graph.py), so each tile of
+    ``TILE_N`` destination rows owns a contiguous edge range;
+  * the kernel walks that range in ``TILE_E``-edge chunks, DMAing the
+    ``(TILE_E, D)`` message block and the ``(TILE_E, 1)`` destination ids from
+    HBM into VMEM;
+  * a chunk's contribution is ``onehot(dst)ᵀ @ msg`` — a
+    ``(TILE_N, TILE_E) x (TILE_E, D)`` matmul on the MXU, where the one-hot is
+    built on the fly with a broadcast compare.  Rows outside the tile mask
+    themselves (their compare is all-zero), so no scalar bookkeeping is
+    needed beyond the chunk's global edge-index bounds.
+
+Per-tile edge ranges come from ``indptr`` sampled at tile boundaries and are
+scalar-prefetched (pltpu.PrefetchScalarGridSpec) so the kernel can compute DMA
+offsets before the body runs.
+
+The backward of a segment-sum is a plain gather (``g[dst]``), wired up with
+``jax.custom_vjp``; the gradient scatter into ``x[src]`` that autodiff then
+needs is itself a segment-sum over SOURCE-sorted edges, which reuses this same
+kernel through the precomputed ``sperm``/``s_indptr`` (see
+``aggregate_half_pallas``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kgc_gcn_tpu.data.graph import GraphHalf
+
+TILE_N = 256   # destination rows per program
+TILE_E = 256   # edges per DMA chunk
+
+
+def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
+                msg_vmem, dst_vmem, sems, *, tile_n, tile_e):
+    """One program owns ``tile_n`` destination rows.
+
+    Chunk starts are aligned DOWN to ``tile_e`` so every DMA offset is
+    lane-aligned; edges read before ``start`` or after ``end`` have a dst
+    outside this tile's rows (CSR order) and self-mask in the compare — no
+    explicit masking needed.  ``dst`` arrives as a (1, E) row vector so the
+    transposed one-hot (rows x edges) is built directly, feeding the MXU
+    without a transpose.
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    row0 = t * tile_n
+    a0 = pl.multiple_of((start // tile_e) * tile_e, tile_e)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    n_chunks = pl.cdiv(end - a0, tile_e)
+
+    def body(ci, _):
+        e0 = pl.multiple_of(a0 + ci * tile_e, tile_e)
+        cp_m = pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(e0, tile_e), :], msg_vmem, sems.at[0])
+        cp_d = pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem, sems.at[1])
+        cp_m.start()
+        cp_d.start()
+        cp_m.wait()
+        cp_d.wait()
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, tile_e), 0) + row0
+        dn = (((1,), (0,)), ((), ()))
+        if msg_vmem.dtype == jnp.float32:
+            # full f32 accuracy in 2 MXU passes: the one-hot is exact in
+            # bf16, so split msg into hi/lo bf16 halves (the default MXU
+            # precision would round msg to bf16; HIGHEST would cost 9 passes)
+            onehot_t = (rows == dst_vmem[:]).astype(jnp.bfloat16)
+            m = msg_vmem[:]
+            hi = m.astype(jnp.bfloat16)
+            lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:] += (
+                jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
+                                      preferred_element_type=jnp.float32))
+        else:
+            onehot_t = (rows == dst_vmem[:]).astype(msg_vmem.dtype)
+            out_ref[:] += jax.lax.dot_general(
+                onehot_t, msg_vmem[:], dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
+                       n_rows: int, interpret: bool = False) -> jax.Array:
+    """Sorted-COO segment-sum: (E, D) messages + non-decreasing (E,) dst ->
+    (n_rows, D).  Rows with no edges get zeros.  ``indptr`` is the (n_rows+1,)
+    CSR pointer array of ``dst``."""
+    e_orig, d_orig = msg.shape
+    tile_e = TILE_E
+    tile_n = TILE_N
+    # Mosaic DMA slices must be lane-aligned: pad the feature dim to 128 and
+    # the edge dim to a multiple of tile_e (pad dst with a never-matching id)
+    d = -(-d_orig // 128) * 128
+    e_total = -(-e_orig // tile_e) * tile_e
+    if d != d_orig or e_total != e_orig:
+        msg = jnp.pad(msg, ((0, e_total - e_orig), (0, d - d_orig)))
+        dst = jnp.pad(dst, (0, e_total - e_orig),
+                      constant_values=np.int32(2**30))
+    n_tiles = -(-n_rows // tile_n)
+    n_pad = n_tiles * tile_n
+
+    # per-tile edge bounds from indptr at tile boundaries
+    tile_rows = jnp.minimum(np.arange(n_tiles + 1) * tile_n, n_rows)
+    bounds = indptr[tile_rows].astype(jnp.int32)
+
+    kernel = functools.partial(_seg_kernel, tile_n=tile_n, tile_e=tile_e)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # msg stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # dst stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_n, d), lambda t, bounds: (t, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tile_e, d), msg.dtype),
+                pltpu.VMEM((1, tile_e), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, msg, dst.reshape(1, -1))
+    return out[:n_rows, :d_orig]
+
+
+# ------------------------------------------------------- aggregation with VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
+                    indptr, sperm, s_indptr, n_ent, interpret):
+    msg = (x[src] * rel_all[rel] * edge_tab[eid]) * norm[:, None]
+    return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
+
+
+def _agg_fwd(x, rel_all, edge_tab, src, dst, rel, eid, norm,
+             indptr, sperm, s_indptr, n_ent, interpret):
+    out = _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
+                          indptr, sperm, s_indptr, n_ent, interpret)
+    return out, (x, rel_all, edge_tab, src, dst, rel, eid, norm,
+                 sperm, s_indptr)
+
+
+def _agg_bwd(n_ent, interpret, res, g):
+    x, rel_all, edge_tab, src, dst, rel, eid, norm, sperm, s_indptr = res
+    xg = x[src]
+    rg = rel_all[rel]
+    eg = edge_tab[eid]
+    gd = g[dst] * norm[:, None]                  # (E, D) cotangent per edge
+
+    # d_x: segment-sum over src — src-sorted so the kernel applies again
+    contrib = gd * rg * eg
+    dx = segment_sum_pallas(
+        contrib[sperm], src[sperm], s_indptr, x.shape[0], interpret=interpret)
+
+    # d_rel: few segments — XLA scatter-add is fine
+    d_rel = jax.ops.segment_sum(gd * xg * eg, rel,
+                                num_segments=rel_all.shape[0])
+
+    # d_edge_tab: edge ids are unique -> permutation scatter
+    d_edge = jnp.zeros_like(edge_tab).at[eid].add(
+        gd * xg * rg, unique_indices=True)
+
+    return (dx, d_rel, d_edge) + (None,) * 8
+
+
+_aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
+
+
+def aggregate_half_pallas(x, rel_all, edge_tab, half: GraphHalf, n_ent: int,
+                          interpret: bool = False):
+    """Pallas-backed drop-in for ops.scatter.aggregate_half.
+
+    Forward: compose per-edge messages (XLA fuses the gathers + elementwise),
+    then MXU segment-sum over dst.  Backward: cotangents flow through
+
+      * ``d_msg = g[dst] * (partners)`` — gathers + elementwise (XLA),
+      * ``d_x`` — a segment-sum over SOURCE, evaluated with this same kernel
+        on the src-sorted permutation (``half.sperm``/``half.s_indptr``),
+      * ``d_rel`` — segment-sum over relation ids (tiny; XLA scatter),
+      * ``d_edge_tab`` — a pure permutation (edge ids are unique).
+    """
+    return _aggregate_cvjp(
+        x, rel_all, edge_tab, half.src, half.dst, half.rel, half.eid,
+        half.norm, half.indptr, half.sperm, half.s_indptr, n_ent, interpret)

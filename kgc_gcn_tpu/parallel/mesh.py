@@ -1,0 +1,92 @@
+"""Device mesh and sharding layout.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(reference main.py:213-214) — model replicated per GPU, batch scattered,
+loss averaged.  TPU-native replacement: a ``jax.sharding.Mesh`` with two
+logical axes,
+
+  * ``data``  — batch (query) sharding; gradients all-reduce over ICI, which
+    subsumes DataParallel,
+  * ``graph`` — edge partitioning: the CSR halves (and with them the per-edge
+    message work) are sharded along the edge dimension, each shard scatter-adds
+    into the shared entity accumulator and XLA inserts the cross-shard psum.
+    This is the graph-world analog of sequence/context parallelism
+    (SURVEY.md §5.7) — the axis that lets graphs larger than one chip's HBM
+    train.
+
+Everything goes through GSPMD: we annotate placements with NamedSharding and
+let XLA insert the collectives; no hand-written transport.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kgc_gcn_tpu.data.graph import Graph, GraphHalf
+
+DATA_AXIS = "data"
+GRAPH_AXIS = "graph"
+
+
+def make_mesh(data: int = 1, graph: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if data * graph > devices.size:
+        raise ValueError(
+            f"mesh {data}x{graph} needs {data * graph} devices, "
+            f"have {devices.size}")
+    devices = devices[: data * graph].reshape(data, graph)
+    return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
+
+
+def _half_sharding(mesh: Mesh) -> GraphHalf:
+    edge = NamedSharding(mesh, P(GRAPH_AXIS))
+    rep = NamedSharding(mesh, P())
+    return GraphHalf(src=edge, dst=edge, rel=edge, eid=edge, norm=edge,
+                     indptr=rep, sperm=edge, s_indptr=rep)
+
+
+def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
+    """Edge-partition both halves along the ``graph`` axis.
+
+    ``e_pad`` is built as a multiple of 128 (data/graph.py), so any graph-axis
+    size dividing 128 shards evenly; padding edges are zero-norm no-ops on
+    whichever shard they land.
+    """
+    sh = Graph(inb=_half_sharding(mesh), outb=_half_sharding(mesh),
+               n_ent=graph.n_ent, n_rel=graph.n_rel,
+               n_edge=graph.n_edge, e_pad=graph.e_pad)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), graph, sh,
+        is_leaf=lambda x: isinstance(x, (jax.Array, NamedSharding)))
+
+
+def shard_params(tree, mesh: Mesh):
+    """Replicate a parameter/state/opt pytree across the mesh.
+
+    (Sharded parameter layouts — e.g. the 2E x d edge-embedding table along
+    ``graph`` — are a planned optimization; replication is correct and lets
+    GSPMD choose gather strategies.)
+    """
+    rep = NamedSharding(mesh, P())
+    return jax.device_put(tree, rep)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the trailing batch dimension of (steps, B, ...) plans over data."""
+    spec = [None] * ndim
+    if ndim >= 2:
+        spec[1] = DATA_AXIS
+    else:
+        spec[0] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batches(mesh: Optional[Mesh], idx, mask):
+    if mesh is None:
+        return idx, mask
+    sh = batch_sharding(mesh, idx.ndim)
+    return jax.device_put(idx, sh), jax.device_put(mask, sh)

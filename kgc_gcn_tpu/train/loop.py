@@ -1,0 +1,212 @@
+"""Training and evaluation loops.
+
+TPU-native restructuring of the reference driver (reference main.py:49-174):
+
+  * One training EPOCH is one jit-compiled ``lax.scan`` over shuffled batch
+    indices — forward, loss, backward, clip, Adam update all on device, zero
+    host sync per batch (the reference syncs every batch for tqdm,
+    main.py:74).  The host only supplies the shuffled index plan and the
+    per-epoch learning rate.
+  * Evaluation encodes the graph ONCE per pass and scans the decoder over
+    batches; ranks come from the comparison-count kernel (ops/ranking.py).
+    The reference re-runs the full-graph encoder for every eval batch.
+  * Early stopping, best-on-val-MRR checkpointing, and the patience rule are
+    behavior-identical to reference main.py:138-174 (including the quirk that
+    an improvement smaller than ``patience`` still increments the counter).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgc_gcn_tpu.config import Config
+from kgc_gcn_tpu.data.batching import QueryBank, build_labels, epoch_batches
+from kgc_gcn_tpu.data.graph import Graph
+from kgc_gcn_tpu.ops.losses import bce_with_logits
+from kgc_gcn_tpu.ops.ranking import combine_head_tail, filtered_ranks, rank_metrics
+from kgc_gcn_tpu.train.checkpoint import save_checkpoint
+from kgc_gcn_tpu.train.optim import apply_updates_with_lr, epoch_lr, make_optimizer
+
+
+class Trainer:
+    """Owns the jitted train/eval programs for one (model, graph) pair."""
+
+    def __init__(self, cfg: Config, model, graph: Graph,
+                 banks: Dict[str, QueryBank], mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.graph = graph
+        self.banks = banks
+        self.tx = make_optimizer(cfg)
+        self.n_ent = graph.n_ent
+        self.mesh = mesh  # set by kgc_gcn_tpu.parallel for sharded training
+
+        self._train_epoch_jit = jax.jit(
+            self._train_epoch, donate_argnums=(0, 1, 2))
+        self._train_step_jit = jax.jit(
+            self._train_step, donate_argnums=(0, 1, 2))
+        self._eval_pass_jit = jax.jit(self._eval_pass)
+
+    # ------------------------------------------------------------- train step
+
+    def _loss_and_update(self, params, state, opt_state, graph, lr, q,
+                         label_idx, mask, rng):
+        lbl = build_labels(label_idx, self.n_ent, self.cfg.lbl_smooth)
+
+        def loss_fn(p):
+            logits, new_state = self.model.apply(
+                p, state, graph, q[:, 0], q[:, 1], train=True, rng=rng)
+            return bce_with_logits(logits, lbl, mask), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = self.tx.update(grads, opt_state, params)
+        new_params = apply_updates_with_lr(params, updates, lr)
+        return new_params, new_state, new_opt, loss
+
+    def _train_step(self, params, state, opt_state, graph, lr, q, label_idx,
+                    mask, rng):
+        return self._loss_and_update(
+            params, state, opt_state, graph, lr, q, label_idx, mask, rng)
+
+    def _train_epoch(self, params, state, opt_state, graph, rng, lr,
+                     idx, mask, queries, label_idx):
+        """One epoch as a single lax.scan; batches are gathers from the bank."""
+
+        def body(carry, batch):
+            params, state, opt_state, key = carry
+            b_idx, b_mask = batch
+            key, sub = jax.random.split(key)
+            q = queries[b_idx]
+            params, state, opt_state, loss = self._loss_and_update(
+                params, state, opt_state, graph, lr, q, label_idx[b_idx],
+                b_mask, sub)
+            return (params, state, opt_state, key), loss
+
+        (params, state, opt_state, _), losses = jax.lax.scan(
+            body, (params, state, opt_state, rng), (idx, mask))
+        return params, state, opt_state, jnp.mean(losses)
+
+    def train_epoch(self, params, state, opt_state, epoch: int,
+                    host_rng: np.random.Generator, rng_key: jax.Array):
+        """Run one epoch; returns (params, state, opt_state, mean_loss)."""
+        cfg = self.cfg
+        bank = self.banks["train"]
+        lr = jnp.float32(epoch_lr(cfg, epoch))
+        idx, mask = epoch_batches(bank.n_queries, cfg.batch_size, host_rng)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+
+        if cfg.scan_epoch:
+            params, state, opt_state, loss = self._train_epoch_jit(
+                params, state, opt_state, self.graph, rng_key, lr, idx, mask,
+                bank.queries, bank.label_idx)
+            return params, state, opt_state, float(loss)
+
+        losses = []
+        key = rng_key
+        for s in range(idx.shape[0]):
+            key, sub = jax.random.split(key)
+            q = bank.queries[idx[s]]
+            params, state, opt_state, loss = self._train_step_jit(
+                params, state, opt_state, self.graph, lr, q,
+                bank.label_idx[idx[s]], mask[s], sub)
+            losses.append(loss)
+        return params, state, opt_state, float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------- evaluation
+
+    def _eval_pass(self, params, state, graph, idx, mask, queries, label_idx):
+        """Encode once, scan the decoder over batches; returns metric sums."""
+        all_ent, all_rel, _ = self.model.encode(
+            params, state, graph, train=False)
+
+        def body(carry, batch):
+            b_idx, b_mask = batch
+            q = queries[b_idx]
+            logits, _ = self.model.decode(
+                params, state, all_ent, all_rel, q[:, 0], q[:, 1], train=False)
+            ranks = filtered_ranks(logits, q[:, 2], label_idx[b_idx])
+            m = rank_metrics(ranks, b_mask)
+            return jax.tree.map(jnp.add, carry, m), None
+
+        zero = rank_metrics(jnp.ones((1,), jnp.int32), jnp.zeros((1,)))
+        zeros = jax.tree.map(jnp.zeros_like, zero)
+        sums, _ = jax.lax.scan(body, zeros, (idx, mask))
+        return sums
+
+    def _predict(self, params, state, bank: QueryBank) -> Dict[str, float]:
+        cfg = self.cfg
+        bs = cfg.eval_batch_size or cfg.batch_size
+        idx, mask = epoch_batches(
+            bank.n_queries, bs, np.random.default_rng(0), shuffle=False)
+        sums = self._eval_pass_jit(
+            params, state, self.graph, jnp.asarray(idx), jnp.asarray(mask),
+            bank.queries, bank.label_idx)
+        return {k: float(v) for k, v in sums.items()}
+
+    def evaluate(self, params, state, split: str = "valid",
+                 mark: str = "Val") -> Dict[str, float]:
+        """Filtered MR/MRR/Hits over tail + head queries (reference main.py:80-103)."""
+        tail = self._predict(params, state, self.banks[f"{split}_tail"])
+        head = self._predict(params, state, self.banks[f"{split}_head"])
+        results = combine_head_tail(tail, head)
+        logging.info("- %s metrics: %s  ", mark,
+                     "; ".join(f"{k}: {v:05.3f}" for k, v in results.items()))
+        return results
+
+
+def train_and_evaluate(
+    trainer: Trainer,
+    params,
+    state,
+    opt_state,
+    model_dir: Optional[str] = None,
+    saved_best: float = 0.0,
+    seed: int = 0,
+) -> Tuple[Any, Any, Any, float]:
+    """Epoch driver with eval-every, best-tracking and early stop
+    (reference main.py:138-174)."""
+    cfg = trainer.cfg
+    best_measure = saved_best
+    patience_counter = 0
+    host_rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    logging.info("Starting training for %d epoch(s)", cfg.max_epoch)
+    for epoch in range(1, cfg.max_epoch + 1):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, state, opt_state, loss = trainer.train_epoch(
+            params, state, opt_state, epoch, host_rng, sub)
+        logging.info("Epoch %d/%d  loss=%07.5f  (%.2fs)",
+                     epoch, cfg.max_epoch, loss, time.perf_counter() - t0)
+
+        if epoch % cfg.eval_every == 0:
+            val = trainer.evaluate(params, state, "valid", mark="Val")
+            improve = val["mrr"] - best_measure
+            if improve > 0:
+                best_measure = val["mrr"]
+                if model_dir is not None:
+                    save_checkpoint(
+                        model_dir, {"params": params, "state": state,
+                                    "opt_state": opt_state}, best_measure)
+                if improve < cfg.patience:
+                    patience_counter += 1
+                else:
+                    patience_counter = 0
+            else:
+                patience_counter += 1
+
+            if (cfg.patience_num > 0 and patience_counter >= cfg.patience_num
+                    and epoch > cfg.min_epoch):
+                logging.info("Early stopping with best val measure: %05.3f",
+                             best_measure)
+                break
+
+    return params, state, opt_state, best_measure

@@ -1,0 +1,228 @@
+"""Model parity: our jitted forward vs an independent numpy/torch oracle of the
+reference equations (SURVEY.md §4 'parity' tier; BASELINE north star requires
+per-layer activations allclose).
+
+The oracle follows reference model.py:24-40 (MGCN.forward), 82-118 (MGCNConv),
+159-179 (ConvE) written directly from the math — per-edge loops in numpy, the
+7x7 convolution via torch — sharing no code with the implementation under test.
+Eval mode (deterministic: no dropout, BN running stats); BN statistics are
+randomized so normalization is actually exercised.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.models.common import BNParams, BNState, batch_norm, dropout
+
+
+def _randomize_bn(params, state, rng):
+    """Give every BN layer nontrivial scale/bias/running stats."""
+
+    def rand_bn_params(p):
+        return BNParams(
+            scale=jnp.asarray(rng.uniform(0.5, 1.5, p.scale.shape), jnp.float32),
+            bias=jnp.asarray(rng.normal(0, 0.3, p.bias.shape), jnp.float32))
+
+    def rand_bn_state(s):
+        return BNState(
+            mean=jnp.asarray(rng.normal(0, 0.3, s.mean.shape), jnp.float32),
+            var=jnp.asarray(rng.uniform(0.5, 2.0, s.var.shape), jnp.float32))
+
+    def walk(node, fn, cls):
+        if isinstance(node, cls):
+            return fn(node)
+        if dataclasses.is_dataclass(node):
+            return type(node)(**{
+                f.name: walk(getattr(node, f.name), fn, cls)
+                for f in dataclasses.fields(node)})
+        return node
+
+    params = walk(params, rand_bn_params, BNParams)
+    state = walk(state, rand_bn_state, BNState)
+    return params, state
+
+
+def _bn_eval(x, p, s, axis, eps=1e-5):
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    rs = lambda a: np.asarray(a).reshape(shape)
+    return (x - rs(s.mean)) / np.sqrt(rs(s.var) + eps) * rs(p.scale) + rs(p.bias)
+
+
+def _oracle_forward(ds, cfg, params, state, src, rel):
+    """Reference forward math in numpy + torch, eval mode."""
+    torch = pytest.importorskip("torch")
+    N, R, E = ds.num_entity, ds.num_relation, ds.num_edge
+    x = np.asarray(params.entity_embedding)
+    rels = np.concatenate([np.asarray(params.relation_embedding),
+                           np.asarray(params.conv.loop_rel)], axis=0)
+    edge_tab = np.asarray(params.edge_embeddings)
+    c = params.conv
+    tri = ds.train_triples
+
+    def ref_norm(row, col):
+        deg = np.zeros(N)
+        np.add.at(deg, row, 1.0)
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+        return dinv[row] * dinv[col]
+
+    # in half: (s, r, o), eid i, aggregated at o (reference model.py:88,99)
+    s_, r_, o_ = tri[:, 0], tri[:, 1], tri[:, 2]
+    in_norm = ref_norm(s_, o_)
+    in_res = np.zeros((N, cfg.gcn_out_dim), np.float32)
+    for i in range(E):
+        m = (x[s_[i]] * rels[r_[i]] * edge_tab[i]) @ np.asarray(c.in_weight)
+        in_res[o_[i]] += m * in_norm[i]
+    # out half: (o, r+R, s), eid E+i, aggregated at s (model.py:89-90,100)
+    out_norm = ref_norm(o_, s_)
+    out_res = np.zeros((N, cfg.gcn_out_dim), np.float32)
+    for i in range(E):
+        m = (x[o_[i]] * rels[r_[i] + R] * edge_tab[E + i]) @ np.asarray(c.out_weight)
+        out_res[s_[i]] += m * out_norm[i]
+    loop_res = (x * np.asarray(c.loop_rel) * np.asarray(c.loop_edge)) @ np.asarray(c.loop_weight)
+
+    out = (in_res + out_res + loop_res) / 3.0
+    all_ent = np.tanh(_bn_eval(out, c.bn, state.conv_bn, axis=1))
+    all_rel = (rels @ np.asarray(c.rels_weight))[:-1]
+
+    # ConvE decoder via torch (reference model.py:159-179), logits space
+    d = params.decoder
+    ds_ = state.decoder
+    se = torch.tensor(all_ent[src])
+    re = torch.tensor(all_rel[rel])
+    stack = torch.cat([se.view(-1, 1, cfg.gcn_out_dim),
+                       re.view(-1, 1, cfg.gcn_out_dim)], dim=1)
+    img = stack.transpose(2, 1).reshape(-1, 1, 2 * cfg.k_w, cfg.k_h)
+    xx = torch.tensor(_bn_eval(img.numpy(), d.bn0, ds_.bn0, axis=1))
+    xx = torch.nn.functional.conv2d(xx, torch.tensor(np.asarray(d.conv_w)))
+    xx = torch.tensor(_bn_eval(xx.numpy(), d.bn1, ds_.bn1, axis=1))
+    xx = torch.relu(xx)
+    xx = xx.reshape(len(src), -1)
+    xx = xx @ torch.tensor(np.asarray(d.fc_w)).T + torch.tensor(np.asarray(d.fc_b))
+    xx = torch.tensor(_bn_eval(xx.numpy(), d.bn2, ds_.bn2, axis=1))
+    xx = torch.relu(xx)
+    logits = xx @ torch.tensor(all_ent).T + torch.tensor(np.asarray(d.ent_bias))
+    return np.asarray(logits), all_ent, all_rel
+
+
+def test_mgcn_forward_matches_reference_math(toy, toy_cfg):
+    ds, g, _ = toy
+    cfg = toy_cfg
+    rng = np.random.default_rng(42)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = _randomize_bn(params, state, rng)
+
+    src = np.array([0, 3, 5, 1], np.int32)
+    rel = np.array([0, 1, 2 * ds.num_relation - 1, 2], np.int32)
+
+    logits, _ = model.apply(params, state, g, jnp.asarray(src),
+                            jnp.asarray(rel), train=False)
+    oracle_logits, oracle_ent, oracle_rel = _oracle_forward(
+        ds, cfg, params, state, src, rel)
+
+    # per-layer: encoder activations
+    all_ent, all_rel, _ = model.encode(params, state, g, train=False)
+    np.testing.assert_allclose(np.asarray(all_ent), oracle_ent, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(all_rel), oracle_rel, rtol=2e-4, atol=2e-5)
+    # end-to-end logits
+    np.testing.assert_allclose(np.asarray(logits), oracle_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_batch_norm_matches_torch_train_and_eval():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 6)).astype(np.float32)
+    p = BNParams(scale=jnp.asarray(rng.uniform(0.5, 1.5, 6), jnp.float32),
+                 bias=jnp.asarray(rng.normal(0, 0.3, 6), jnp.float32))
+    s = BNState(mean=jnp.asarray(rng.normal(0, 0.2, 6), jnp.float32),
+                var=jnp.asarray(rng.uniform(0.5, 2.0, 6), jnp.float32))
+
+    tbn = torch.nn.BatchNorm1d(6)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor(np.asarray(p.scale)))
+        tbn.bias.copy_(torch.tensor(np.asarray(p.bias)))
+        tbn.running_mean.copy_(torch.tensor(np.asarray(s.mean)))
+        tbn.running_var.copy_(torch.tensor(np.asarray(s.var)))
+
+    # train mode: batch stats normalize, running stats update (unbiased var)
+    tbn.train()
+    t_out = tbn(torch.tensor(x)).detach().numpy()
+    j_out, ns = batch_norm(jnp.asarray(x), p, s, train=True)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns.mean),
+                               tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns.var),
+                               tbn.running_var.numpy(), rtol=1e-4, atol=1e-6)
+
+    # eval mode: running stats normalize (torch's stats were updated by the
+    # train pass above, so compare against our updated state ``ns``)
+    tbn.eval()
+    t_out = tbn(torch.tensor(x)).detach().numpy()
+    j_out, _ = batch_norm(jnp.asarray(x), p, ns, train=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_scaling():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((1000, 16))
+    y = np.asarray(dropout(x, 0.3, key, train=True))
+    kept = y[y != 0]
+    np.testing.assert_allclose(kept, 1.0 / 0.7, rtol=1e-5)
+    assert 0.6 < (y != 0).mean() < 0.8
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.3, key, train=False)), 1.0)
+
+
+def test_rgcn_basis_equals_dense_expansion(toy, toy_cfg):
+    """Basis aggregation == explicitly materialized W_r = sum_b a_rb V_b."""
+    ds, g, _ = toy
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=3,
+                          num_layers=1)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(1))
+
+    all_ent, _, _ = model.encode(params, state, g, train=False)
+
+    layer = params.layers[0]
+    V = np.asarray(layer.basis)          # (B, din, dout)
+    A = np.asarray(layer.coeff)          # (2R, B)
+    W = np.einsum("rb,bio->rio", A, V)   # dense per-relation weights
+    x = np.asarray(params.entity_embedding)
+    N = ds.num_entity
+    expect = x @ np.asarray(layer.self_weight)
+    for half in (g.inb, g.outb):
+        src, dst, rel, norm = (np.asarray(a) for a in
+                               (half.src, half.dst, half.rel, half.norm))
+        for e in range(len(src)):
+            expect[dst[e]] += norm[e] * x[src[e]] @ W[rel[e]]
+    expect = np.maximum(expect, 0.0)     # relu
+    np.testing.assert_allclose(np.asarray(all_ent), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_rgcn_block_equals_dense_blockdiag(toy, toy_cfg):
+    ds, g, _ = toy
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult", num_blocks=4,
+                          num_layers=1, gcn_in_dim=8, gcn_out_dim=32)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(2))
+    all_ent, _, _ = model.encode(params, state, g, train=False)
+
+    layer = params.layers[0]
+    blocks = np.asarray(layer.blocks)    # (2R, B, din/B, dout/B)
+    nb = blocks.shape[1]
+    x = np.asarray(params.entity_embedding)
+    expect = x @ np.asarray(layer.self_weight)
+    for half in (g.inb, g.outb):
+        src, dst, rel, norm = (np.asarray(a) for a in
+                               (half.src, half.dst, half.rel, half.norm))
+        for e in range(len(src)):
+            xs = x[src[e]].reshape(nb, -1)
+            m = np.concatenate([xs[b] @ blocks[rel[e], b] for b in range(nb)])
+            expect[dst[e]] += norm[e] * m
+    expect = np.maximum(expect, 0.0)
+    np.testing.assert_allclose(np.asarray(all_ent), expect, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,121 @@
+"""Op-level tests: aggregation vs numpy scatter, fused BCE vs torch's
+sigmoid+BCELoss, comparison-count ranking vs the double-argsort oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgc_gcn_tpu.ops.losses import bce_with_logits
+from kgc_gcn_tpu.ops.ranking import combine_head_tail, filtered_ranks, rank_metrics
+from kgc_gcn_tpu.ops.scatter import aggregate_half, loop_messages
+
+
+def test_aggregate_half_matches_numpy(toy):
+    ds, g, _ = toy
+    rng = np.random.default_rng(0)
+    d = 8
+    x = rng.normal(size=(ds.num_entity, d)).astype(np.float32)
+    rel_all = rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32)
+    edge_tab = rng.normal(size=(2 * ds.num_edge, d)).astype(np.float32)
+
+    out = np.asarray(aggregate_half(
+        jnp.asarray(x), jnp.asarray(rel_all), jnp.asarray(edge_tab),
+        g.inb, ds.num_entity))
+
+    expect = np.zeros((ds.num_entity, d), np.float32)
+    src, dst, rel, eid, norm = (np.asarray(a) for a in
+                                (g.inb.src, g.inb.dst, g.inb.rel, g.inb.eid, g.inb.norm))
+    for e in range(len(src)):
+        expect[dst[e]] += x[src[e]] * rel_all[rel[e]] * edge_tab[eid[e]] * norm[e]
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_loop_messages_is_identity_scatter():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, 4)).astype(np.float32)
+    lr = rng.normal(size=(1, 4)).astype(np.float32)
+    le = rng.normal(size=(1, 4)).astype(np.float32)
+    out = np.asarray(loop_messages(jnp.asarray(x), jnp.asarray(lr), jnp.asarray(le)))
+    np.testing.assert_allclose(out, x * lr * le, rtol=1e-6)
+
+
+def test_bce_with_logits_matches_torch_reference():
+    """Fused logits-space BCE == torch BCELoss(sigmoid(x), y) (model.py:22,179)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.normal(scale=3.0, size=(6, 11)).astype(np.float32)
+    y = (rng.random((6, 11)) < 0.3).astype(np.float32)
+    ours = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+    theirs = float(torch.nn.BCELoss()(
+        torch.sigmoid(torch.tensor(x)), torch.tensor(y)))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_bce_row_mask_matches_unpadded():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 7)).astype(np.float32)
+    y = (rng.random((4, 7)) < 0.5).astype(np.float32)
+    full = float(bce_with_logits(jnp.asarray(x[:3]), jnp.asarray(y[:3])))
+    masked = float(bce_with_logits(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray([1.0, 1.0, 1.0, 0.0])))
+    assert abs(full - masked) < 1e-6
+
+
+def test_filtered_ranks_hand_example():
+    # 3 entities; scores [0.9, 0.5, 0.8]; gold = 1; entity 2 is known-true
+    scores = jnp.asarray([[0.9, 0.5, 0.8]])
+    ranks = filtered_ranks(scores, jnp.asarray([1]),
+                           jnp.asarray([[2, 3]]))  # filter {2}, pad=3
+    # after masking e2, only e0 (0.9) outranks gold (0.5) -> rank 2
+    assert int(ranks[0]) == 2
+
+
+def test_filtered_ranks_vs_double_argsort_oracle():
+    """Comparison-count rank == reference double-argsort rank (main.py:122-126)
+    when scores are distinct."""
+    rng = np.random.default_rng(4)
+    b, n, l = 16, 50, 5
+    scores = rng.permutation(b * n).reshape(b, n).astype(np.float32)  # distinct
+    obj = rng.integers(n, size=b)
+    filt = np.full((b, l), n, np.int32)
+    for i in range(b):
+        known = rng.choice(n, size=rng.integers(1, l), replace=False)
+        filt[i, :len(known)] = known
+
+    ours = np.asarray(filtered_ranks(
+        jnp.asarray(scores), jnp.asarray(obj), jnp.asarray(filt)))
+
+    # oracle: reference main.py:123-126 in numpy
+    pred = scores.copy()
+    rows = np.arange(b)
+    target = pred[rows, obj].copy()
+    for i in range(b):
+        for e in filt[i]:
+            if e < n:
+                pred[i, e] = -1e7
+    pred[rows, obj] = target
+    order = np.argsort(-pred, axis=1, kind="stable")
+    rank_of = np.argsort(order, axis=1, kind="stable")
+    oracle = 1 + rank_of[rows, obj]
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_rank_metrics_and_combine():
+    ranks = jnp.asarray([1, 3, 12])
+    m = rank_metrics(ranks, jnp.ones(3))
+    assert float(m["count"]) == 3
+    assert float(m["mr"]) == 16
+    assert abs(float(m["mrr"]) - (1 + 1/3 + 1/12)) < 1e-6
+    assert float(m["hits@1"]) == 1 and float(m["hits@3"]) == 2
+    assert float(m["hits@10"]) == 2
+    tail = {k: float(v) for k, v in m.items()}
+    res = combine_head_tail(tail, tail)
+    assert res["mr"] == round(16 / 3, 5)
+    assert res["hits@10"] == round(2 / 3, 5)
+
+
+def test_rank_metrics_padding_ignored():
+    ranks = jnp.asarray([1, 1])
+    m = rank_metrics(ranks, jnp.asarray([1.0, 0.0]))
+    assert float(m["count"]) == 1 and float(m["hits@1"]) == 1

@@ -1,0 +1,92 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+edge-partitioned + data-parallel training steps compile, run, and match the
+single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgc_gcn_tpu.parallel.mesh import make_mesh, shard_graph, shard_params
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.train.loop import Trainer
+from kgc_gcn_tpu.train.optim import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()[:8]
+
+
+def _setup(toy, toy_cfg):
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(num_filter=2, batch_size=8)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return ds, g, banks, cfg, model, params, state, opt_state
+
+
+def _one_step(trainer, params, state, opt_state, graph, bank, batch, put=None):
+    q = np.asarray(bank.queries[:batch])
+    lbl = np.asarray(bank.label_idx[:batch])
+    mask = np.ones((batch,), np.float32)
+    if put:
+        q, lbl, mask = put(q), put(lbl), put(mask)
+    return trainer._train_step_jit(
+        params, state, opt_state, graph, jnp.float32(1e-3),
+        jnp.asarray(q), jnp.asarray(lbl), jnp.asarray(mask),
+        jax.random.PRNGKey(3))
+
+
+def test_sharded_step_matches_single_device(toy, toy_cfg, eight_devices):
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    batch = 8
+    # jitted steps donate their inputs — keep host copies for the second run
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+
+    # single device
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = _one_step(t1, params, state, opt_state, g,
+                               banks["train"], batch)
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+
+    # 2 (data) x 4 (graph) mesh
+    mesh = make_mesh(data=2, graph=4)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        t2 = Trainer(cfg, model, gs, banks, mesh=mesh)
+        p2, s2, o2, l2 = _one_step(
+            t2, ps, ss, os_, gs, banks["train"], batch,
+            put=lambda x: jax.device_put(x, bsp))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    # sharded collectives reassociate float sums; Adam's rsqrt amplifies the
+    # ulp-level differences on near-zero moments — loose tolerances still
+    # catch semantic divergence (which would be O(1))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
+def test_graph_sharding_layout(toy, eight_devices):
+    ds, g, banks = toy
+    mesh = make_mesh(data=1, graph=8)
+    gs = shard_graph(g, mesh)
+    # edge arrays are split along the graph axis
+    shard_shapes = {sh.data.shape for sh in gs.inb.src.addressable_shards}
+    assert shard_shapes == {(g.e_pad // 8,)}
+    # indptr replicated
+    assert gs.inb.indptr.addressable_shards[0].data.shape == (g.n_ent + 1,)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(data=100, graph=100)

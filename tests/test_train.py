@@ -1,0 +1,137 @@
+"""Integration: Toy end-to-end train → eval → checkpoint → resume on CPU
+(SURVEY.md §4 'integration' tier)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from kgc_gcn_tpu.train.loop import Trainer, train_and_evaluate
+from kgc_gcn_tpu.train.optim import epoch_lr, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def _setup_once(toy, toy_cfg):
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(max_epoch=3, eval_every=1, min_epoch=0,
+                          num_filter=2, lbl_smooth=0.1)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    trainer = Trainer(cfg, model, g, banks)
+    # keep pristine host copies: the jitted train steps DONATE params/state/
+    # opt_state buffers, so each test needs fresh device arrays
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+    return ds, cfg, model, trainer, host
+
+
+@pytest.fixture()
+def setup(_setup_once):
+    ds, cfg, model, trainer, host = _setup_once
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    return ds, cfg, model, trainer, params, state, opt_state
+
+
+def test_epoch_lr_steps():
+    from kgc_gcn_tpu.config import Config
+    cfg = Config(learning_rate=0.002)
+    # epochs 1..10 at base, 11 at base*gamma (StepLR stepped per epoch)
+    assert epoch_lr(cfg, 1) == 0.002
+    assert epoch_lr(cfg, 10) == 0.002
+    assert abs(epoch_lr(cfg, 11) - 0.002 * 0.995) < 1e-12
+    assert abs(epoch_lr(cfg, 21) - 0.002 * 0.995 ** 2) < 1e-12
+
+
+def test_train_epoch_reduces_loss(setup):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    host_rng = np.random.default_rng(0)
+    losses = []
+    for epoch in range(1, 6):
+        params, state, opt_state, loss = trainer.train_epoch(
+            params, state, opt_state, epoch, host_rng,
+            jax.random.PRNGKey(epoch))
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_scan_and_loop_modes_agree(setup):
+    """scan_epoch=True and the per-batch python loop produce identical params."""
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    loop_trainer = Trainer(cfg.replace(scan_epoch=False), model,
+                           trainer.graph, trainer.banks)
+
+    fresh = lambda t: jax.tree.map(lambda x: jnp.array(np.asarray(x)), t)
+    p1, s1, o1, l1 = trainer.train_epoch(
+        *fresh((params, state, opt_state)), 1, np.random.default_rng(5),
+        jax.random.PRNGKey(9))
+    p2, s2, o2, l2 = loop_trainer.train_epoch(
+        *fresh((params, state, opt_state)), 1, np.random.default_rng(5),
+        jax.random.PRNGKey(9))
+    assert abs(l1 - l2) < 1e-5
+    # scan vs unrolled reassociates float reductions and Adam's rsqrt
+    # amplifies the ulp-level noise over the epoch's steps; semantic
+    # divergence (wrong batch order, wrong rng threading) would be O(0.1-1)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1.0,
+                                   atol=5e-3)
+
+
+def test_evaluate_produces_sane_metrics(setup):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    res = trainer.evaluate(params, state, "valid")
+    assert set(res) == {"mr", "mrr", "hits@1", "hits@3", "hits@10"}
+    assert 1.0 <= res["mr"] <= ds.num_entity
+    assert 0.0 < res["mrr"] <= 1.0
+    assert res["hits@1"] <= res["hits@3"] <= res["hits@10"] <= 1.0
+
+
+def test_eval_count_covers_all_queries(setup):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    sums = trainer._predict(params, state, trainer.banks["valid_tail"])
+    assert sums["count"] == len(ds.valid_triples)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    tree = {"params": params, "state": state, "opt_state": opt_state}
+    save_checkpoint(str(tmp_path), tree, 0.375)
+    restored, measure = load_checkpoint(str(tmp_path), tree)
+    assert measure == 0.375
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_and_evaluate_driver(setup, tmp_path):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    p, s, o, best = train_and_evaluate(
+        trainer, params, state, opt_state, str(tmp_path), 0.0, seed=0)
+    assert best > 0.0
+    # best checkpoint was written and restores
+    restored, measure = load_checkpoint(
+        str(tmp_path), {"params": params, "state": state, "opt_state": opt_state})
+    assert measure == best
+
+
+def test_negative_sampling_smoke(toy, toy_cfg):
+    """negative-sampling train mode runs and updates params."""
+    ds, g, banks = toy
+    from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult",
+                          train_mode="negative_sampling", num_negatives=4,
+                          num_bases=2)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    trainer = NegativeSamplingTrainer(cfg, model, g, banks)
+    before = np.asarray(jax.tree.leaves(params)[0]).copy()
+    p, s, o, loss = trainer.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(0),
+        jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    after = np.asarray(jax.tree.leaves(p)[0])
+    assert not np.allclose(before, after)
