@@ -1,31 +1,40 @@
 """Training-throughput benchmark — prints ONE JSON line.
 
-Metric: edges/s per chip during TRAINING (full forward + backward + Adam
-update) on a WN18RR-scale synthetic graph (N=40943, R=11, E=86835 — the real
-dataset's shape; the text corpus itself is not distributable) with the
+Metric: edges/s per chip during TRAINING (full forward + backward + clip +
+Adam) on a WN18RR-scale synthetic graph (N=40943, R=11, E=86835 — the real
+corpus is not distributable, so the benchmark is shape-faithful) with the
 reference hyperparameters (batch 128, d_in 100, d_out 200, ConvE 200x7x7).
 
 "Edges" counts messages aggregated per forward pass: 2E directed edges + N
-self-loops (the reference pushes exactly these through propagate per batch,
+self-loops (exactly what the reference pushes through propagate per batch,
 model.py:99-101), times training steps completed.
 
-vs_baseline compares against the unfused v0 path measured on this same chip
-(unsorted segment-sum, per-edge projection in the message loop — the faithful
-translation of the reference's torch-scatter schedule): 9.1e8 edges/s on
-TPU v5e.  The reference repo itself never measured throughput (SURVEY.md §6).
+Methodology (see BENCH_NOTES.md): steps run inside one jitted ``lax.scan``
+(per-dispatch tunnel latency ~3 ms would otherwise dominate) and every timed
+call is synced by pulling the scalar loss to the host — ``block_until_ready``
+does NOT reliably block through the axon tunnel and produced bogus numbers
+early in round 1.  Three reps, median reported.
+
+``vs_baseline`` compares against the plain XLA v0 path (sorted segment-sum
+schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
+measured throughput (SURVEY.md §6).
+
+Modes: ``python bench.py [fused|reference|pallas]`` — default pallas (the
+fastest verified path).
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
 
-# v0 (naive schedule) edges/s on TPU v5 lite, measured 2026-08-17; see bench
-# history in BENCH_NOTES.md
-BASELINE_EDGES_PER_S = 9.1e8
+# plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
+# TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
+BASELINE_EDGES_PER_S = 12.6e6
 
 
-def main(mode: str = "fused"):
+def main(mode: str = "pallas"):
     import jax
     import jax.numpy as jnp
     from kgc_gcn_tpu.config import dataset_preset
@@ -60,37 +69,37 @@ def main(mode: str = "fused"):
     labels = [[int(o)] for o in tri[:, 2]]
     bank = make_query_bank(queries, labels, n_ent)
     trainer = Trainer(cfg, model, graph, {"train": bank})
-
-    idx, mask = np.zeros((steps, batch), np.int32), np.ones((steps, batch), np.float32)
-    idx[:] = rng.integers(n_edge, size=(steps, batch))
-    idx_j, mask_j = jnp.asarray(idx), jnp.asarray(mask)
     lr = jnp.float32(cfg.learning_rate)
 
-    def run(p, s, o, key):
-        return trainer._train_epoch_jit(
-            p, s, o, graph, key, lr, idx_j, mask_j, bank.queries, bank.label_idx)
+    def run(p, s, o, seed):
+        idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)
+        mask = np.ones((steps, batch), np.float32)
+        p, s, o, loss = trainer._train_epoch_jit(
+            p, s, o, graph, jax.random.PRNGKey(seed), lr,
+            jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
+        return p, s, o, float(loss)   # host pull = true device sync
 
-    # warmup / compile
-    p, s, o, _ = run(params, state, opt_state, jax.random.PRNGKey(1))
-    jax.block_until_ready(p)
+    p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
 
-    t0 = time.perf_counter()
-    p, s, o, loss = run(p, s, o, jax.random.PRNGKey(2))
-    jax.block_until_ready(p)
-    dt = time.perf_counter() - t0
+    times, loss = [], 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        p, s, o, loss = run(p, s, o, 10 + rep)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
 
     edges_per_step = 2 * n_edge + n_ent
     edges_per_s = steps * edges_per_step / dt
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip"
-                  + ("" if mode == "fused" else f"_{mode}"),
+                  + ("" if mode == "pallas" else f"_{mode}"),
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
         "detail": {
-            "steps": steps, "sec": round(dt, 4),
+            "mode": mode, "steps": steps, "sec_median": round(dt, 4),
             "steps_per_s": round(steps / dt, 2),
-            "loss": round(float(loss), 5),
+            "loss": round(loss, 5),
             "graph": {"n_ent": n_ent, "n_rel": n_rel, "n_edge": n_edge},
             "device": str(jax.devices()[0]),
         },
@@ -99,4 +108,4 @@ def main(mode: str = "fused"):
 
 if __name__ == "__main__":
     import sys
-    main(sys.argv[1] if len(sys.argv) > 1 else "fused")
+    main(sys.argv[1] if len(sys.argv) > 1 else "pallas")

@@ -76,10 +76,26 @@ def _read_triples(path: str) -> List[Tuple[str, str, str]]:
     return out
 
 
-def load_dataset(name: str, data_dir: str = "data") -> KGDataset:
-    """Load ``<data_dir>/<name>/{train,valid,test}.txt`` TSV triple files."""
+def load_dataset(name: str, data_dir: str = "data",
+                 use_native: bool = True) -> KGDataset:
+    """Load ``<data_dir>/<name>/{train,valid,test}.txt`` TSV triple files.
+
+    Uses the C++ graphcore parser (kgc_gcn_tpu.utils.native) when available —
+    identical vocab order/lowercasing — and falls back to pure Python.
+    """
     root = os.path.join(data_dir, name)
-    raw = {s: _read_triples(os.path.join(root, s + ".txt")) for s in SPLITS}
+    paths = {s: os.path.join(root, s + ".txt") for s in SPLITS}
+    if use_native:
+        from kgc_gcn_tpu.utils.native import load_corpus_native
+        res = load_corpus_native(paths["train"], paths["valid"], paths["test"])
+        if res is not None:
+            entity2id, rel_fwd, triples = res
+            relation2id = dict(rel_fwd)
+            relation2id.update({r + "_reverse": i + len(rel_fwd)
+                                for r, i in rel_fwd.items()})
+            return build_dataset_from_ids(name, entity2id, relation2id,
+                                          triples)
+    raw = {s: _read_triples(paths[s]) for s in SPLITS}
     return build_dataset(name, raw["train"], raw["valid"], raw["test"])
 
 
@@ -105,24 +121,33 @@ def build_dataset(
     num_relation = len(relation2id)
     for r in list(relation2id.keys()):
         relation2id[r + "_reverse"] = relation2id[r] + num_relation
-    num_entity = len(entity2id)
 
-    # triples + sr2o maps (reference data_loader.py:80-96)
     ids = {}
-    sr2o: Dict[Tuple[int, int], dict] = {}
-    sr2o_train: Dict[Tuple[int, int], List[int]] = {}
-
-    def _add(sub: int, rel: int, obj: int) -> None:
-        sr2o.setdefault((sub, rel), {})[obj] = None
-        sr2o.setdefault((obj, rel + num_relation), {})[sub] = None
-
     for split in SPLITS:
         tri = np.empty((len(raw[split]), 3), dtype=np.int64)
         for i, (s, r, o) in enumerate(raw[split]):
-            sub, rel, obj = entity2id[s], relation2id[r], entity2id[o]
-            tri[i] = (sub, rel, obj)
-            _add(sub, rel, obj)
+            tri[i] = (entity2id[s], relation2id[r], entity2id[o])
         ids[split] = tri
+    return build_dataset_from_ids(name, entity2id, relation2id, ids)
+
+
+def build_dataset_from_ids(
+    name: str,
+    entity2id: Dict[str, int],
+    relation2id: Dict[str, int],     # incl. '<rel>_reverse' ids R..2R-1
+    ids: Dict[str, np.ndarray],      # {split: (n, 3) int64 id triples}
+) -> KGDataset:
+    num_entity = len(entity2id)
+    num_relation = len(relation2id) // 2
+
+    # sr2o maps (reference data_loader.py:80-96)
+    sr2o: Dict[Tuple[int, int], dict] = {}
+    sr2o_train: Dict[Tuple[int, int], List[int]] = {}
+
+    for split in SPLITS:
+        for sub, rel, obj in ids[split].tolist():
+            sr2o.setdefault((sub, rel), {})[obj] = None
+            sr2o.setdefault((obj, rel + num_relation), {})[sub] = None
         if split == "train":
             sr2o_train = {k: list(v) for k, v in sr2o.items()}
     sr2o_all = {k: list(v) for k, v in sr2o.items()}

@@ -53,11 +53,17 @@ class GraphHalf:
     src: jax.Array       # int32 (E_pad,)
     dst: jax.Array       # int32 (E_pad,) — non-decreasing
     rel: jax.Array       # int32 (E_pad,) — relation id (out half: rel + R)
-    eid: jax.Array       # int32 (E_pad,) — index into the per-edge embedding table
+    eid: jax.Array       # int32 (E_pad,) — index into the per-edge embedding
+                         #   table; 2E (out of range, dropped/0-norm) on padding
     norm: jax.Array      # float32 (E_pad,) — precomputed degree norm; 0 on padding
     indptr: jax.Array    # int32 (N + 1,) — CSR row pointers over dst
     sperm: jax.Array     # int32 (E_pad,) — permutation making src sorted
     s_indptr: jax.Array  # int32 (N + 1,) — CSR row pointers over src[sperm]
+    eid_order: jax.Array  # int32 (E_pad,) — permutation making eid sorted
+                          #   (real edges first); turns the edge-embedding
+                          #   gradient scatter into a gather
+    eid_base: int = _static(default=0)   # smallest real eid of this half
+    e_real: int = _static(default=0)     # unpadded edge count
 
 
 @jax.tree_util.register_dataclass
@@ -87,8 +93,10 @@ def _reference_norm(row: np.ndarray, col: np.ndarray, n_ent: int) -> np.ndarray:
     return (dinv[row] * dinv[col]).astype(np.float32)
 
 
-def _build_half(src, dst, rel, eid, n_ent: int, pad_to: int) -> GraphHalf:
+def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
+                pad_to: int) -> GraphHalf:
     e = len(src)
+    eid_base = int(eid.min()) if e else 0
     norm = _reference_norm(src, dst, n_ent)
     order = np.argsort(dst, kind="stable")
     src, dst, rel, eid, norm = (a[order] for a in (src, dst, rel, eid, norm))
@@ -96,11 +104,13 @@ def _build_half(src, dst, rel, eid, n_ent: int, pad_to: int) -> GraphHalf:
     e_pad = max(pad_to, -(-e // pad_to) * pad_to)
     pad = e_pad - e
     if pad:
-        # zero-norm padding: contributes nothing to the segment sum
+        # zero-norm padding: contributes nothing to the segment sum; padding
+        # eid is OUT OF RANGE (= 2E) so table gathers clip to a 0-norm no-op
+        # and the eid values stay duplicate-free
         src = np.concatenate([src, np.zeros(pad, src.dtype)])
         dst = np.concatenate([dst, np.full(pad, n_ent - 1, dst.dtype)])
         rel = np.concatenate([rel, np.zeros(pad, rel.dtype)])
-        eid = np.concatenate([eid, np.zeros(pad, eid.dtype)])
+        eid = np.concatenate([eid, np.full(pad, n_edge_total, eid.dtype)])
         norm = np.concatenate([norm, np.zeros(pad, norm.dtype)])
 
     def csr_pointers(idx):
@@ -121,6 +131,9 @@ def _build_half(src, dst, rel, eid, n_ent: int, pad_to: int) -> GraphHalf:
         indptr=jnp.asarray(indptr, jnp.int32),
         sperm=jnp.asarray(sperm, jnp.int32),
         s_indptr=jnp.asarray(s_indptr, jnp.int32),
+        eid_order=jnp.asarray(np.argsort(eid, kind="stable"), jnp.int32),
+        eid_base=eid_base,
+        e_real=e,
     )
 
 
@@ -141,8 +154,8 @@ def build_graph(
     e = len(src)
     eid = np.arange(e, dtype=np.int32)
 
-    inb = _build_half(src, dst, rel, eid, n_ent, pad_to)
-    outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, pad_to)
+    inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, pad_to)
+    outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, 2 * e, pad_to)
 
     return Graph(inb=inb, outb=outb, n_ent=n_ent, n_rel=n_rel,
                  n_edge=e, e_pad=int(inb.src.shape[0]))

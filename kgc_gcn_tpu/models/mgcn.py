@@ -130,7 +130,20 @@ class MGCN:
         rel_all = jnp.concatenate([params.relation_embedding, c.loop_rel], axis=0)
         edge_tab = params.edge_embeddings
 
-        if cfg.use_pallas:
+        if train and cfg.edge_sample_size > 0 and "sample_in" in rngs:
+            # stochastic subgraph training: sample K edges per half on device
+            from kgc_gcn_tpu.ops.sampler import (
+                aggregate_sampled_half, sample_half)
+            k = cfg.edge_sample_size
+            h_in = sample_half(rngs["sample_in"], graph.inb, k, self.n_edge)
+            h_out = sample_half(rngs["sample_out"], graph.outb, k, self.n_edge)
+            in_agg = aggregate_sampled_half(
+                x, rel_all, edge_tab, h_in, self.n_ent)
+            out_agg = aggregate_sampled_half(
+                x, rel_all, edge_tab, h_out, self.n_ent)
+            in_res = in_agg @ c.in_weight
+            out_res = out_agg @ c.out_weight
+        elif cfg.use_pallas:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"
             in_agg = aggregate_half_pallas(
@@ -228,7 +241,8 @@ class MGCN:
         """Full forward: (B,) src/rel query → (B, N) logits over all entities."""
         rngs = {}
         if rng is not None:
-            names = ("conv_in", "conv_out", "gcn", "feat", "hidden")
+            names = ("conv_in", "conv_out", "gcn", "feat", "hidden",
+                     "sample_in", "sample_out")
             rngs = dict(zip(names, jax.random.split(rng, len(names))))
         all_ent, all_rel, bn_state = self.encode(
             params, state, graph, train=train, rngs=rngs)

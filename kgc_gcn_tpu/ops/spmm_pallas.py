@@ -64,26 +64,44 @@ def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
     out_ref[:] = jnp.zeros_like(out_ref)
     n_chunks = pl.cdiv(end - a0, tile_e)
 
-    def body(ci, _):
+    def dmas(slot, ci):
         e0 = pl.multiple_of(a0 + ci * tile_e, tile_e)
-        cp_m = pltpu.make_async_copy(
-            msg_hbm.at[pl.ds(e0, tile_e), :], msg_vmem, sems.at[0])
-        cp_d = pltpu.make_async_copy(
-            dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem, sems.at[1])
-        cp_m.start()
-        cp_d.start()
-        cp_m.wait()
-        cp_d.wait()
+        return (
+            pltpu.make_async_copy(
+                msg_hbm.at[pl.ds(e0, tile_e), :], msg_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem.at[slot],
+                sems.at[slot, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        # prefetch the next chunk while this one computes (double buffering)
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for cp in dmas(1 - slot, ci + 1):
+                cp.start()
+
+        for cp in dmas(slot, ci):
+            cp.wait()
 
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (tile_n, tile_e), 0) + row0
         dn = (((1,), (0,)), ((), ()))
+        m = msg_vmem[slot]
+        d_ids = dst_vmem[slot]
         if msg_vmem.dtype == jnp.float32:
             # full f32 accuracy in 2 MXU passes: the one-hot is exact in
             # bf16, so split msg into hi/lo bf16 halves (the default MXU
             # precision would round msg to bf16; HIGHEST would cost 9 passes)
-            onehot_t = (rows == dst_vmem[:]).astype(jnp.bfloat16)
-            m = msg_vmem[:]
+            onehot_t = (rows == d_ids).astype(jnp.bfloat16)
             hi = m.astype(jnp.bfloat16)
             lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             out_ref[:] += (
@@ -92,9 +110,9 @@ def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
                 + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
                                       preferred_element_type=jnp.float32))
         else:
-            onehot_t = (rows == dst_vmem[:]).astype(msg_vmem.dtype)
+            onehot_t = (rows == d_ids).astype(msg_vmem.dtype)
             out_ref[:] += jax.lax.dot_general(
-                onehot_t, msg_vmem[:], dimension_numbers=dn,
+                onehot_t, m, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
         return 0
 
@@ -140,9 +158,9 @@ def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
                 (tile_n, d), lambda t, bounds: (t, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((tile_e, d), msg.dtype),
-                pltpu.VMEM((1, tile_e), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, tile_e, d), msg.dtype),
+                pltpu.VMEM((2, 1, tile_e), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
@@ -155,23 +173,27 @@ def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                    indptr, sperm, s_indptr, n_ent, interpret):
+                    indptr, sperm, s_indptr, eid_order,
+                    n_ent, eid_base, e_real, interpret):
     msg = (x[src] * rel_all[rel] * edge_tab[eid]) * norm[:, None]
     return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
 
 
 def _agg_fwd(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-             indptr, sperm, s_indptr, n_ent, interpret):
+             indptr, sperm, s_indptr, eid_order,
+             n_ent, eid_base, e_real, interpret):
     out = _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                          indptr, sperm, s_indptr, n_ent, interpret)
+                          indptr, sperm, s_indptr, eid_order,
+                          n_ent, eid_base, e_real, interpret)
     return out, (x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                 sperm, s_indptr)
+                 sperm, s_indptr, eid_order)
 
 
-def _agg_bwd(n_ent, interpret, res, g):
-    x, rel_all, edge_tab, src, dst, rel, eid, norm, sperm, s_indptr = res
+def _agg_bwd(n_ent, eid_base, e_real, interpret, res, g):
+    (x, rel_all, edge_tab, src, dst, rel, eid, norm,
+     sperm, s_indptr, eid_order) = res
     xg = x[src]
     rg = rel_all[rel]
     eg = edge_tab[eid]
@@ -186,11 +208,13 @@ def _agg_bwd(n_ent, interpret, res, g):
     d_rel = jax.ops.segment_sum(gd * xg * eg, rel,
                                 num_segments=rel_all.shape[0])
 
-    # d_edge_tab: edge ids are unique -> permutation scatter
-    d_edge = jnp.zeros_like(edge_tab).at[eid].add(
-        gd * xg * rg, unique_indices=True)
+    # d_edge_tab: edge ids are unique (padding ids sort past e_real), so the
+    # scatter is really an inverse permutation — a gather + one block write
+    rows = (gd * xg * rg)[eid_order]
+    d_edge = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(edge_tab), rows[:e_real], (eid_base, 0))
 
-    return (dx, d_rel, d_edge) + (None,) * 8
+    return (dx, d_rel, d_edge) + (None,) * 9
 
 
 _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
@@ -207,8 +231,10 @@ def aggregate_half_pallas(x, rel_all, edge_tab, half: GraphHalf, n_ent: int,
       * ``d_x`` — a segment-sum over SOURCE, evaluated with this same kernel
         on the src-sorted permutation (``half.sperm``/``half.s_indptr``),
       * ``d_rel`` — segment-sum over relation ids (tiny; XLA scatter),
-      * ``d_edge_tab`` — a pure permutation (edge ids are unique).
+      * ``d_edge_tab`` — a gather through the precomputed eid inverse
+        permutation (edge ids are unique) + one contiguous block write.
     """
     return _aggregate_cvjp(
         x, rel_all, edge_tab, half.src, half.dst, half.rel, half.eid,
-        half.norm, half.indptr, half.sperm, half.s_indptr, n_ent, interpret)
+        half.norm, half.indptr, half.sperm, half.s_indptr, half.eid_order,
+        n_ent, half.eid_base, half.e_real, interpret)

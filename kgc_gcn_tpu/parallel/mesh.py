@@ -42,11 +42,12 @@ def make_mesh(data: int = 1, graph: int = 1, devices=None) -> Mesh:
     return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
 
 
-def _half_sharding(mesh: Mesh) -> GraphHalf:
+def _half_sharding(mesh: Mesh, half: GraphHalf) -> GraphHalf:
     edge = NamedSharding(mesh, P(GRAPH_AXIS))
     rep = NamedSharding(mesh, P())
     return GraphHalf(src=edge, dst=edge, rel=edge, eid=edge, norm=edge,
-                     indptr=rep, sperm=edge, s_indptr=rep)
+                     indptr=rep, sperm=edge, s_indptr=rep, eid_order=edge,
+                     eid_base=half.eid_base, e_real=half.e_real)
 
 
 def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
@@ -56,7 +57,8 @@ def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
     size dividing 128 shards evenly; padding edges are zero-norm no-ops on
     whichever shard they land.
     """
-    sh = Graph(inb=_half_sharding(mesh), outb=_half_sharding(mesh),
+    sh = Graph(inb=_half_sharding(mesh, graph.inb),
+               outb=_half_sharding(mesh, graph.outb),
                n_ent=graph.n_ent, n_rel=graph.n_rel,
                n_edge=graph.n_edge, e_pad=graph.e_pad)
     return jax.tree.map(

@@ -1,0 +1,129 @@
+"""ctypes bridge to the native graphcore library (native/graphcore.cpp).
+
+Builds ``libgraphcore.so`` on first use with g++ (cached next to the source);
+every entry point has a pure-Python fallback, so the framework works without a
+compiler.  ``load_corpus_native`` parses the three TSV triple files and
+returns id arrays + vocab in the exact first-seen/lowercased order of the
+Python path (kgc_gcn_tpu.data.dataset).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "graphcore.cpp")
+
+
+def _build_lib() -> Optional[str]:
+    so_path = os.path.join(os.path.dirname(_SRC), "libgraphcore.so")
+    if os.path.exists(so_path) and (
+            os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+        return so_path
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", so_path],
+            check=True, capture_output=True, timeout=300)
+        return so_path
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if not os.path.exists(_SRC):
+        return None
+    so = _build_lib()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.gc_load_corpus.restype = ctypes.c_void_p
+    lib.gc_load_corpus.argtypes = [ctypes.c_char_p] * 3
+    lib.gc_error.restype = ctypes.c_char_p
+    lib.gc_error.argtypes = [ctypes.c_void_p]
+    lib.gc_num_entities.restype = ctypes.c_int32
+    lib.gc_num_entities.argtypes = [ctypes.c_void_p]
+    lib.gc_num_relations.restype = ctypes.c_int32
+    lib.gc_num_relations.argtypes = [ctypes.c_void_p]
+    lib.gc_num_triples.restype = ctypes.c_int64
+    lib.gc_num_triples.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.gc_copy_triples.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.gc_vocab_bytes.restype = ctypes.c_int64
+    lib.gc_vocab_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.gc_copy_vocab.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_char_p]
+    lib.gc_free.argtypes = [ctypes.c_void_p]
+    lib.gc_build_half.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    _LIB = lib
+    return _LIB
+
+
+def load_corpus_native(
+    train_path: str, valid_path: str, test_path: str
+) -> Optional[Tuple[Dict[str, int], Dict[str, int], Dict[str, np.ndarray]]]:
+    """Parse TSV triples natively; returns (entity2id, relation2id (forward
+    only), {split: (n,3) int64 triples}) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.gc_load_corpus(train_path.encode(), valid_path.encode(),
+                           test_path.encode())
+    try:
+        err = lib.gc_error(h)
+        if err:
+            raise ValueError(err.decode())
+        triples = {}
+        for i, split in enumerate(("train", "valid", "test")):
+            n = lib.gc_num_triples(h, i)
+            out = np.empty((n, 3), np.int32)
+            if n:
+                lib.gc_copy_triples(h, i, out.reshape(-1))
+            triples[split] = out.astype(np.int64)
+        vocabs = []
+        for which in (0, 1):
+            buf = ctypes.create_string_buffer(int(lib.gc_vocab_bytes(h, which)))
+            lib.gc_copy_vocab(h, which, buf)
+            names = buf.value.decode().split("\n")[:-1]
+            vocabs.append({name: i for i, name in enumerate(names)})
+        return vocabs[0], vocabs[1], triples
+    finally:
+        lib.gc_free(h)
+
+
+def build_half_native(src: np.ndarray, dst: np.ndarray, n_ent: int
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(perm, indptr, norm) for one CSR half, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    e = len(src)
+    perm = np.empty(e, np.int32)
+    indptr = np.empty(n_ent + 1, np.int32)
+    norm = np.empty(e, np.float32)
+    lib.gc_build_half(np.ascontiguousarray(src, np.int32),
+                      np.ascontiguousarray(dst, np.int32),
+                      e, n_ent, perm, indptr, norm)
+    return perm, indptr, norm
