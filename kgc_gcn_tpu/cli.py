@@ -131,7 +131,11 @@ def main(argv=None) -> int:
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
-    trainer = Trainer(cfg, model, graph, banks)
+    if cfg.train_mode == "negative_sampling":
+        from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+        trainer = NegativeSamplingTrainer(cfg, model, graph, banks)
+    else:
+        trainer = Trainer(cfg, model, graph, banks)
 
     best = 0.0
     if cfg.restore_dir is not None:

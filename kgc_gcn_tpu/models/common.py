@@ -104,6 +104,21 @@ def batch_norm(
     return y * params.scale.reshape(shape) + params.bias.reshape(shape), new_state
 
 
+# ---------------------------------------------------------------- mixed matmul
+
+def mm(a: jax.Array, b: jax.Array, compute_dtype: str = "float32") -> jax.Array:
+    """``a @ b`` with optional bf16 operand casting, f32 accumulation.
+
+    With ``compute_dtype='bfloat16'`` the operands are cast to bf16 before the
+    MXU (half the HBM traffic, full-rate MXU passes) and accumulated in f32 —
+    the standard TPU mixed-precision recipe.  Parameters stay f32.
+    """
+    if compute_dtype == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
 # --------------------------------------------------------------------- dropout
 
 def dropout(x: jax.Array, rate: float, key: Optional[jax.Array],

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.models.common import (
     BNParams, BNState, batch_norm, bn_init, dropout,
-    fan_in_bias_uniform, kaiming_uniform_torch,
+    fan_in_bias_uniform, kaiming_uniform_torch, mm,
 )
 
 
@@ -101,18 +101,20 @@ def conve_query(
         b, 1, 2 * cfg.k_w, cfg.k_h)
 
     x, ns0 = batch_norm(img, params.bn0, state.bn0, train=train, channel_axis=1)
+    conv_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                  else params.conv_w.dtype)
+    # same-dtype in/out keeps the conv VJP well-typed; upcast after
     x = jax.lax.conv_general_dilated(
-        x.astype(params.conv_w.dtype), params.conv_w,
+        x.astype(conv_dtype), params.conv_w.astype(conv_dtype),
         window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NCHW", "OIHW", "NCHW")).astype(jnp.float32)
     if params.conv_b is not None:
         x = x + params.conv_b[None, :, None, None]
     x, ns1 = batch_norm(x, params.bn1, state.bn1, train=train, channel_axis=1)
     x = jax.nn.relu(x)
     x = dropout(x, cfg.feat_drop, rngs.get("feat"), train)
     x = x.reshape(b, -1)                                     # (B, flat)
-    x = x @ params.fc_w.T + params.fc_b
+    x = mm(x, params.fc_w.T, cfg.compute_dtype) + params.fc_b
     x = dropout(x, cfg.hidden_drop, rngs.get("hidden"), train)
     x, ns2 = batch_norm(x, params.bn2, state.bn2, train=train, channel_axis=-1)
     x = jax.nn.relu(x)
@@ -133,7 +135,7 @@ def conve_apply(
     """Full 1-vs-all scoring: trunk + B x d x N matmul (reference model.py:177-178)."""
     h, new_state = conve_query(params, state, cfg, src_emb, rel_emb,
                                train=train, rngs=rngs)
-    logits = h @ all_ent.T + params.ent_bias[None, :]        # (B, N) on MXU
+    logits = mm(h, all_ent.T, cfg.compute_dtype) + params.ent_bias[None, :]
     return logits, new_state
 
 
@@ -190,7 +192,8 @@ def distmult_apply(
 ) -> Tuple[jax.Array, DistMultState]:
     """score(s, r, o) = <e_s * w_r, e_o> + b_o, batched as one MXU matmul."""
     del rngs
-    logits = (src_emb * rel_emb) @ all_ent.T + params.ent_bias[None, :]
+    logits = mm(src_emb * rel_emb, all_ent.T, cfg.compute_dtype) \
+        + params.ent_bias[None, :]
     return logits, state
 
 

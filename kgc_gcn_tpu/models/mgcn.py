@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.data.graph import Graph
 from kgc_gcn_tpu.models.common import (
-    BNParams, BNState, batch_norm, bn_init, dropout, xavier_uniform,
+    BNParams, BNState, batch_norm, bn_init, dropout, mm, xavier_uniform,
 )
 from kgc_gcn_tpu.models.decoders import DECODERS
 from kgc_gcn_tpu.ops.scatter import aggregate_half, loop_messages
@@ -150,8 +150,8 @@ class MGCN:
                 x, rel_all, edge_tab, graph.inb, self.n_ent, interp)
             out_agg = aggregate_half_pallas(
                 x, rel_all, edge_tab, graph.outb, self.n_ent, interp)
-            in_res = in_agg @ c.in_weight
-            out_res = out_agg @ c.out_weight
+            in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
+            out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.agg_schedule == "reference":
             from kgc_gcn_tpu.ops.scatter import aggregate_half_reference_schedule
             in_res = aggregate_half_reference_schedule(
@@ -161,9 +161,10 @@ class MGCN:
         else:
             in_agg = aggregate_half(x, rel_all, edge_tab, graph.inb, self.n_ent)
             out_agg = aggregate_half(x, rel_all, edge_tab, graph.outb, self.n_ent)
-            in_res = in_agg @ c.in_weight
-            out_res = out_agg @ c.out_weight
-        loop_res = loop_messages(x, c.loop_rel, c.loop_edge) @ c.loop_weight
+            in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
+            out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
+        loop_res = mm(loop_messages(x, c.loop_rel, c.loop_edge), c.loop_weight,
+                      cfg.compute_dtype)
 
         # (drop(in) + drop(out) + loop) / 3 — loop messages are NOT dropped
         # (reference model.py:103)
@@ -177,7 +178,7 @@ class MGCN:
 
         # relation projection, dropping the appended loop relation
         # (reference model.py:107)
-        all_rel = (rel_all @ c.rels_weight)[:-1]
+        all_rel = mm(rel_all, c.rels_weight, cfg.compute_dtype)[:-1]
 
         # post-encoder entity dropout (reference model.py:34) — applied before
         # BOTH the src gather and the all-entity scoring matmul

@@ -1,0 +1,55 @@
+"""Utility-layer tests: config round-trip, ConvE shape algebra, profiling
+counters, logging helpers."""
+
+import json
+
+import numpy as np
+
+from kgc_gcn_tpu.config import Config, dataset_preset
+from kgc_gcn_tpu.models.decoders import conve_flat_size
+from kgc_gcn_tpu.utils.logging import RunningAverage
+from kgc_gcn_tpu.utils.profiling import StepTimer
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = dataset_preset("WN18RR", batch_size=64, use_pallas=True)
+    path = str(tmp_path / "params.json")
+    cfg.to_json(path)
+    restored = Config.from_json(path)
+    assert restored == cfg
+    # the file is plain json with every field present (run-record parity with
+    # reference main.py:182-184)
+    raw = json.load(open(path))
+    assert raw["learning_rate"] == 0.002 and raw["batch_size"] == 64
+
+
+def test_dataset_presets_match_reference_tuning():
+    # reference experiments/<ds>/params.json historical values (SURVEY §2.4.1)
+    assert dataset_preset("WN18RR").learning_rate == 0.002
+    assert dataset_preset("FB15k-237").learning_rate == 0.003
+    assert dataset_preset("FB15k-237").max_epoch == 400
+    assert dataset_preset("Toy").seed == 2020
+
+
+def test_conve_flat_size_formula():
+    # reference model.py:152-154: (2*k_w - k + 1) * (k_h - k + 1) * filters
+    cfg = Config()  # k_w=10, k_h=20, kernel=7, filters=200
+    assert conve_flat_size(cfg) == 14 * 14 * 200
+    cfg2 = Config(k_w=4, k_h=8, kernel_size=3, num_filter=8, gcn_out_dim=32)
+    assert conve_flat_size(cfg2) == 6 * 6 * 8
+
+
+def test_running_average():
+    avg = RunningAverage()
+    avg.update(2)
+    avg.update(4)
+    assert avg() == 3.0
+
+
+def test_step_timer_excludes_warmup():
+    t = StepTimer(edges_per_step=1000, n_chips=2)
+    t.update(10)          # warmup marker — no interval counted yet
+    t.update(10)
+    assert t.steps == 10
+    assert t.edges_per_s_per_chip == t.steps_per_s * 1000 / 2
+    assert "steps/s" in t.report()
