@@ -226,6 +226,11 @@ class MGCN:
             all_ent[src], all_rel[rel], all_ent[cand], cand,
             train=train, rngs=rngs)
 
+    def rebuild_state(self, state: MGCNState, enc_aux, dec_state) -> MGCNState:
+        """Reassemble model state from encode's aux (bn stats) + decoder state."""
+        return MGCNState(conv_bn=enc_aux if enc_aux is not None else state.conv_bn,
+                         decoder=dec_state)
+
     # ----------------------------------------------------------------- apply
 
     def apply(

@@ -203,6 +203,10 @@ class RGCN:
             params.decoder, state.decoder, self.cfg,
             all_ent[src], all_rel[rel], all_ent, train=train, rngs=rngs)
 
+    def rebuild_state(self, state, enc_aux, dec_state):
+        del enc_aux
+        return RGCNState(decoder=dec_state)
+
     def score_candidates(self, params, state, all_ent, all_rel, src, rel,
                          cand, *, train=False, rngs=None):
         from kgc_gcn_tpu.models.decoders import CANDIDATE_SCORERS

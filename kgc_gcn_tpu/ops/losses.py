@@ -20,18 +20,44 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _bce_core(logits: jax.Array, targets: jax.Array,
+              row_mask: jax.Array) -> jax.Array:
+    per = (jnp.maximum(logits, 0.0) - logits * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    w = row_mask[:, None]
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per.shape[1]
+    return jnp.sum(per * w) / denom
+
+
+def _bce_fwd(logits, targets, row_mask):
+    return _bce_core(logits, targets, row_mask), (logits, targets, row_mask)
+
+
+def _bce_bwd(res, g):
+    # d/dlogits of BCE-with-logits is just sigmoid(x) - y: one fused
+    # elementwise pass instead of autodiff's max/log1p/abs chain over the
+    # (B, N) score matrix — the largest activation in the model.
+    logits, targets, row_mask = res
+    w = row_mask[:, None]
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * logits.shape[1]
+    scale = g / denom
+    d_logits = (jax.nn.sigmoid(logits) - targets) * w * scale
+    d_targets = -logits * w * scale
+    return d_logits, d_targets, None
+
+
+_bce_core.defvjp(_bce_fwd, _bce_bwd)
+
+
 def bce_with_logits(
     logits: jax.Array,               # (B, N)
     targets: jax.Array,              # (B, N) in [0, 1]
     row_mask: Optional[jax.Array] = None,  # (B,) 1.0 valid / 0.0 padding
 ) -> jax.Array:
-    per = (jnp.maximum(logits, 0.0) - logits * targets
-           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
     if row_mask is None:
-        return jnp.mean(per)
-    w = row_mask[:, None]
-    denom = jnp.maximum(jnp.sum(row_mask), 1.0) * per.shape[1]
-    return jnp.sum(per * w) / denom
+        row_mask = jnp.ones((logits.shape[0],), logits.dtype)
+    return _bce_core(logits, targets, row_mask)
 
 
 def margin_ranking_loss(

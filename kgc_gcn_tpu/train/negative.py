@@ -68,12 +68,13 @@ class NegativeSamplingTrainer(Trainer):
                 p, state, all_ent, all_rel, tri[:, 0], tri[:, 1], cand,
                 train=True, rngs=rngs)
             loss = sampled_bce_with_logits(logits[:, 0], logits[:, 1:], mask)
-            return loss, (dec_state, aux)
+            return loss, self.model.rebuild_state(state, aux, dec_state)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, new_opt = self.tx.update(grads, opt_state, params)
         new_params = apply_updates_with_lr(params, updates, lr)
-        return new_params, state, new_opt, loss
+        return new_params, new_state, new_opt, loss
 
     def _neg_epoch(self, params, state, opt_state, graph, pos_triples, rng,
                    lr, idx, mask):
