@@ -5,9 +5,16 @@ Reference policy (reference utils.py:121-155, main.py:159-163,222-225): save
 improves, so ``last.ckpt`` always holds the best weights; restore returns the
 stored measure so best-tracking resumes correctly.
 
-Implementation: a dependency-free atomic ``.npz`` writer (flattened pytree
-leaves + treedef-by-template).  Restore takes a template pytree (from a fresh
-``model.init``) so custom dataclass nodes round-trip exactly.
+Two backends, same layout and policy:
+
+  * ``npz`` (default) — dependency-free atomic single-file writer (flattened
+    pytree leaves + treedef-by-template);
+  * ``orbax`` — ``orbax.checkpoint.StandardCheckpointer`` directory
+    checkpoints (TPU-native, async-capable, multi-host-aware); selected with
+    ``backend="orbax"`` or auto-detected on restore.
+
+Restore takes a template pytree (from a fresh ``model.init``) so custom
+dataclass nodes round-trip exactly.
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ import jax
 import numpy as np
 
 CKPT_NAME = "last.ckpt"
+ORBAX_DIR = "last.orbax"
+_MEASURE_KEY = "__measure__"
 
 
 def _flatten(tree: Any):
@@ -26,13 +35,28 @@ def _flatten(tree: Any):
     return leaves, treedef
 
 
-def save_checkpoint(ckpt_dir: str, tree: Any, measure: float) -> str:
-    """Save a pytree + scalar measure to ``<ckpt_dir>/last.ckpt`` (npz)."""
+def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
+                    backend: str = "npz") -> str:
+    """Save a pytree + scalar measure under ``ckpt_dir`` (policy: callers save
+    only on val-MRR improvement, so 'last' always holds the best)."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(ckpt_dir), ORBAX_DIR)
+        ckptr = ocp.StandardCheckpointer()
+        tmp = path + ".tmp"
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ckptr.save(tmp, {"tree": tree,
+                         _MEASURE_KEY: jax.numpy.asarray(measure)})
+        ckptr.wait_until_finished()
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        return path
     path = os.path.join(ckpt_dir, CKPT_NAME)
     leaves, _ = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    arrays["__measure__"] = np.asarray(measure, np.float64)
+    arrays[_MEASURE_KEY] = np.asarray(measure, np.float64)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
@@ -41,13 +65,22 @@ def save_checkpoint(ckpt_dir: str, tree: Any, measure: float) -> str:
 
 
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
-    """Restore a pytree saved by ``save_checkpoint``.
+    """Restore a pytree saved by ``save_checkpoint`` (either backend).
 
     ``template`` supplies the pytree structure (e.g. from ``model.init`` +
     ``optimizer.init``); leaf count and shapes must match.
     """
-    if os.path.isdir(path):
-        path = os.path.join(path, CKPT_NAME)
+    if os.path.isdir(path) and os.path.basename(path) != ORBAX_DIR:
+        orbax_path = os.path.join(path, ORBAX_DIR)
+        path = orbax_path if os.path.isdir(orbax_path) \
+            else os.path.join(path, CKPT_NAME)
+    if os.path.isdir(path):   # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"tree": template, _MEASURE_KEY: jax.numpy.asarray(0.0)})
+        return restored["tree"], float(restored[_MEASURE_KEY])
     if not os.path.exists(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
     data = np.load(path)
@@ -59,5 +92,5 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template {leaf.shape}")
         restored.append(jax.numpy.asarray(arr))
-    measure = float(data["__measure__"]) if "__measure__" in data else 0.0
+    measure = float(data[_MEASURE_KEY]) if _MEASURE_KEY in data else 0.0
     return jax.tree.unflatten(treedef, restored), measure

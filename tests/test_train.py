@@ -135,3 +135,18 @@ def test_negative_sampling_smoke(toy, toy_cfg):
     assert np.isfinite(loss)
     after = np.asarray(jax.tree.leaves(p)[0])
     assert not np.allclose(before, after)
+
+
+def test_checkpoint_orbax_roundtrip(setup, tmp_path):
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    tree = {"params": params, "state": state}
+    from kgc_gcn_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    save_checkpoint(str(tmp_path), tree, 0.5, backend="orbax")
+    restored, measure = load_checkpoint(str(tmp_path), tree)
+    assert abs(measure - 0.5) < 1e-6   # stored as f32
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # saving again overwrites cleanly
+    save_checkpoint(str(tmp_path), tree, 0.6, backend="orbax")
+    _, measure = load_checkpoint(str(tmp_path), tree)
+    assert abs(measure - 0.6) < 1e-6
