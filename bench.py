@@ -60,7 +60,7 @@ def main(mode: str = "pallas"):
         cfg = cfg.replace(agg_schedule="reference")
     elif mode == "pallas":
         cfg = cfg.replace(use_pallas=True)
-    model = build_model(cfg, n_ent, n_rel, n_edge)
+    model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)

@@ -126,7 +126,8 @@ def main(argv=None) -> int:
     graph = build_graph(ds.train_triples, ds.num_entity, ds.num_relation)
     banks = make_banks(ds)
 
-    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(cfg.seed % 2**32))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)

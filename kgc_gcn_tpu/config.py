@@ -66,6 +66,10 @@ class Config:
 
     # ---- TPU execution ----
     compute_dtype: str = "float32"   # float32 | bfloat16 (matmul inputs)
+    conv_impl: str = "im2col"        # im2col | lax — ConvE convolution lowering
+                                     # (C_in=1 NCHW lax.conv has a pathological
+                                     # TPU layout: its backward alone was the
+                                     # single most expensive op of the step)
     use_pallas: bool = False         # fused Pallas SpMM for relational aggregation
     agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
     scan_epoch: bool = True          # run the whole epoch as one lax.scan

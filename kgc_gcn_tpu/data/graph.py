@@ -53,16 +53,20 @@ class GraphHalf:
     src: jax.Array       # int32 (E_pad,)
     dst: jax.Array       # int32 (E_pad,) — non-decreasing
     rel: jax.Array       # int32 (E_pad,) — relation id (out half: rel + R)
-    eid: jax.Array       # int32 (E_pad,) — index into the per-edge embedding
-                         #   table; 2E (out of range, dropped/0-norm) on padding
+    eid: jax.Array       # int32 (E_pad,) — REFERENCE edge id of each position
+                         #   (data_loader.py:148 numbering: forward edge i is
+                         #   i, its reverse E+i); 2E on padding.  Pure mapping
+                         #   metadata: the per-edge embedding table is stored
+                         #   in THIS positional order (models/mgcn.py), so
+                         #   compute never gathers by eid — it exists for
+                         #   import/export/parity against reference numbering.
     norm: jax.Array      # float32 (E_pad,) — precomputed degree norm; 0 on padding
     indptr: jax.Array    # int32 (N + 1,) — CSR row pointers over dst
     sperm: jax.Array     # int32 (E_pad,) — permutation making src sorted
     s_indptr: jax.Array  # int32 (N + 1,) — CSR row pointers over src[sperm]
-    eid_order: jax.Array  # int32 (E_pad,) — permutation making eid sorted
-                          #   (real edges first); turns the edge-embedding
-                          #   gradient scatter into a gather
-    eid_base: int = _static(default=0)   # smallest real eid of this half
+    s_src: jax.Array     # int32 (E_pad,) — src[sperm], precomputed (a 1-D int
+                         #   gather is surprisingly expensive on TPU: ~0.6 ms
+                         #   per half per step when done inside the backward)
     e_real: int = _static(default=0)     # unpadded edge count
 
 
@@ -82,6 +86,15 @@ class Graph:
         return 2 * self.n_edge + self.n_ent
 
 
+EDGE_PAD = 256   # default edge-count padding; a multiple of the Pallas TILE_E
+                 # so kernel inputs need no runtime re-padding
+
+
+def padded_edge_count(n_edge: int, pad_to: int = EDGE_PAD) -> int:
+    """Padded per-half edge count for a given real edge count (static)."""
+    return max(pad_to, -(-n_edge // pad_to) * pad_to)
+
+
 def _reference_norm(row: np.ndarray, col: np.ndarray, n_ent: int) -> np.ndarray:
     """deg^-1/2[row] * deg^-1/2[col], degree over row occurrences only
     (reference model.py:72-80)."""
@@ -96,12 +109,11 @@ def _reference_norm(row: np.ndarray, col: np.ndarray, n_ent: int) -> np.ndarray:
 def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
                 pad_to: int) -> GraphHalf:
     e = len(src)
-    eid_base = int(eid.min()) if e else 0
     norm = _reference_norm(src, dst, n_ent)
     order = np.argsort(dst, kind="stable")
     src, dst, rel, eid, norm = (a[order] for a in (src, dst, rel, eid, norm))
 
-    e_pad = max(pad_to, -(-e // pad_to) * pad_to)
+    e_pad = padded_edge_count(e, pad_to)
     pad = e_pad - e
     if pad:
         # zero-norm padding: contributes nothing to the segment sum; padding
@@ -131,17 +143,44 @@ def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
         indptr=jnp.asarray(indptr, jnp.int32),
         sperm=jnp.asarray(sperm, jnp.int32),
         s_indptr=jnp.asarray(s_indptr, jnp.int32),
-        eid_order=jnp.asarray(np.argsort(eid, kind="stable"), jnp.int32),
-        eid_base=eid_base,
+        s_src=jnp.asarray(src[sperm], jnp.int32),
         e_real=e,
     )
+
+
+def edge_table_to_reference_order(edge_tab: np.ndarray, graph: Graph) -> np.ndarray:
+    """Map a positionally-stored per-edge embedding table to reference
+    numbering (``(2E, d)``, row i = reference edge id i; data_loader.py:148).
+
+    The model stores the table as ``[in-half rows (dst order); out-half rows
+    (dst order)]`` with padding rows interleaved at the end of each half
+    (models/mgcn.py); ``half.eid`` records each position's reference id.
+    """
+    tab = np.asarray(edge_tab)
+    e_pad = graph.e_pad
+    out = np.zeros((2 * graph.n_edge, tab.shape[1]), tab.dtype)
+    for half, base in ((graph.inb, 0), (graph.outb, e_pad)):
+        eid = np.asarray(half.eid)[: half.e_real]
+        out[eid] = tab[base: base + half.e_real]
+    return out
+
+
+def edge_table_from_reference_order(ref_tab: np.ndarray, graph: Graph) -> np.ndarray:
+    """Inverse of :func:`edge_table_to_reference_order` (padding rows zero)."""
+    ref_tab = np.asarray(ref_tab)
+    e_pad = graph.e_pad
+    out = np.zeros((2 * e_pad, ref_tab.shape[1]), ref_tab.dtype)
+    for half, base in ((graph.inb, 0), (graph.outb, e_pad)):
+        eid = np.asarray(half.eid)[: half.e_real]
+        out[base: base + half.e_real] = ref_tab[eid]
+    return out
 
 
 def build_graph(
     train_triples: np.ndarray,
     n_ent: int,
     n_rel: int,
-    pad_to: int = 128,
+    pad_to: int = EDGE_PAD,
 ) -> Graph:
     """Build the bidirectional training graph (reference data_loader.py:132-157).
 

@@ -4,10 +4,15 @@ from kgc_gcn_tpu.models.rgcn import RGCN
 __all__ = ["MGCN", "RGCN", "build_model"]
 
 
-def build_model(cfg, n_ent: int, n_rel: int, n_edge: int):
-    """Model-family factory (``cfg.model``: mgcn | rgcn)."""
+def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None):
+    """Model-family factory (``cfg.model``: mgcn | rgcn).
+
+    ``e_pad`` must equal the Graph's padded per-half edge count when the graph
+    was built with a non-default ``pad_to`` (the MGCN edge-embedding table is
+    stored in the graph's positional edge order; see models/mgcn.py).
+    """
     if cfg.model == "mgcn":
-        return MGCN(cfg, n_ent, n_rel, n_edge)
+        return MGCN(cfg, n_ent, n_rel, n_edge, e_pad)
     if cfg.model == "rgcn":
         return RGCN(cfg, n_ent, n_rel, n_edge)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -77,6 +77,32 @@ def conve_init(key: jax.Array, cfg: Config, n_ent: int) -> Tuple[ConvEParams, Co
     return params, ConvEState(bn0=s0, bn1=s1, bn2=s2)
 
 
+def _conv2d_c1_im2col(x: jax.Array, w: jax.Array, compute_dtype: str) -> jax.Array:
+    """VALID stride-1 conv for a SINGLE input channel as im2col + MXU matmul.
+
+    ``lax.conv_general_dilated`` with C_in=1 NCHW gets a pathological TPU
+    layout (channel-minor ``T(1,128)`` tiling); its transpose (backward) was
+    the single most expensive op of the whole training step (1.4 ms at
+    reference shapes — more than both Pallas SpMM halves combined).  The
+    K*K=49 static shifted slices + one ``(B*OH*OW, K²) @ (K², F)`` matmul
+    compute the same sums with clean layouts, and the autodiff transpose is
+    dense pad/add + a matmul.
+
+    x: (B, 1, H, W); w: (F, 1, K, K) OIHW  →  (B, F, H-K+1, W-K+1).
+    """
+    b, _, hh, ww = x.shape
+    f, _, k, _ = w.shape
+    oh, ow = hh - k + 1, ww - k + 1
+    xs = x[:, 0]
+    cols = jnp.stack(
+        [xs[:, i:i + oh, j:j + ow] for i in range(k) for j in range(k)],
+        axis=-1)                                       # (B, OH, OW, K*K)
+    patches = cols.reshape(b * oh * ow, k * k)
+    wmat = w.reshape(f, k * k).T                       # (K*K, F)
+    out = mm(patches, wmat, compute_dtype)             # (B*OH*OW, F)
+    return out.reshape(b, oh, ow, f).transpose(0, 3, 1, 2)
+
+
 def conve_query(
     params: ConvEParams,
     state: ConvEState,
@@ -101,13 +127,16 @@ def conve_query(
         b, 1, 2 * cfg.k_w, cfg.k_h)
 
     x, ns0 = batch_norm(img, params.bn0, state.bn0, train=train, channel_axis=1)
-    conv_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                  else params.conv_w.dtype)
-    # same-dtype in/out keeps the conv VJP well-typed; upcast after
-    x = jax.lax.conv_general_dilated(
-        x.astype(conv_dtype), params.conv_w.astype(conv_dtype),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW")).astype(jnp.float32)
+    if cfg.conv_impl == "im2col":
+        x = _conv2d_c1_im2col(x, params.conv_w, cfg.compute_dtype)
+    else:
+        conv_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else params.conv_w.dtype)
+        # same-dtype in/out keeps the conv VJP well-typed; upcast after
+        x = jax.lax.conv_general_dilated(
+            x.astype(conv_dtype), params.conv_w.astype(conv_dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW")).astype(jnp.float32)
     if params.conv_b is not None:
         x = x + params.conv_b[None, :, None, None]
     x, ns1 = batch_norm(x, params.bn1, state.bn1, train=train, channel_axis=1)

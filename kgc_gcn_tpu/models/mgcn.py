@@ -59,7 +59,16 @@ class MGCNConvParams:
 class MGCNParams:
     entity_embedding: jax.Array     # (N, d_in)
     relation_embedding: jax.Array   # (2R, d_in)
-    edge_embeddings: jax.Array      # (2E, d_in)
+    edge_embeddings: jax.Array      # (2*E_pad, d_in) — POSITIONAL layout:
+    #   rows [0:E_pad] are the in-half's edges in ITS dst-sorted order, rows
+    #   [E_pad:2*E_pad] the out-half's.  Compute therefore reads the table as
+    #   two contiguous slices (no (E, d) row gather fwd, no permutation in the
+    #   gradient — both cost ~0.16-0.25 ms per half per step at WN18RR scale).
+    #   Rows at positions >= e_real per half are padding: zero-norm edges give
+    #   them zero gradient, so they stay at init forever and never contribute.
+    #   ``data.graph.edge_table_{to,from}_reference_order`` convert to/from the
+    #   reference's edge-id numbering (reference model.py:18,
+    #   data_loader.py:148) for import/export/parity.
     conv: MGCNConvParams
     decoder: Any
 
@@ -74,11 +83,15 @@ class MGCNState:
 class MGCN:
     """Model family 'mgcn' — reference-parity encoder + pluggable decoder."""
 
-    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
+    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int,
+                 e_pad: Optional[int] = None):
+        from kgc_gcn_tpu.data.graph import padded_edge_count
         self.cfg = cfg
         self.n_ent = n_ent
         self.n_rel = n_rel
         self.n_edge = n_edge
+        # must match the Graph's per-half padded edge count (build_graph)
+        self.e_pad = e_pad if e_pad is not None else padded_edge_count(n_edge)
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
 
     # ------------------------------------------------------------------ init
@@ -103,8 +116,14 @@ class MGCN:
                 keys[7], (self.n_ent, cfg.gcn_in_dim)),
             relation_embedding=xavier_uniform(
                 keys[8], (2 * self.n_rel, cfg.gcn_in_dim)),
-            edge_embeddings=xavier_uniform(
-                keys[9], (2 * self.n_edge, cfg.gcn_in_dim)),
+            # xavier bound computed from the REFERENCE shape (2E, d_in) so the
+            # real rows' distribution matches reference utils.py:113-118
+            # exactly; padding rows never train (zero-norm edges, zero grad)
+            edge_embeddings=jax.random.uniform(
+                keys[9], (2 * self.e_pad, cfg.gcn_in_dim), jnp.float32,
+                minval=-(b := float(
+                    (6.0 / (2 * self.n_edge + cfg.gcn_in_dim)) ** 0.5)),
+                maxval=b),
             conv=conv,
             decoder=dec_p,
         )
@@ -128,7 +147,9 @@ class MGCN:
 
         x = params.entity_embedding
         rel_all = jnp.concatenate([params.relation_embedding, c.loop_rel], axis=0)
-        edge_tab = params.edge_embeddings
+        # per-half contiguous slices of the positionally-stored table
+        et_in = params.edge_embeddings[: self.e_pad]
+        et_out = params.edge_embeddings[self.e_pad:]
 
         if train and cfg.edge_sample_size > 0 and "sample_in" in rngs:
             # stochastic subgraph training: sample K edges per half on device
@@ -138,29 +159,29 @@ class MGCN:
             h_in = sample_half(rngs["sample_in"], graph.inb, k, self.n_edge)
             h_out = sample_half(rngs["sample_out"], graph.outb, k, self.n_edge)
             in_agg = aggregate_sampled_half(
-                x, rel_all, edge_tab, h_in, self.n_ent)
+                x, rel_all, et_in, h_in, self.n_ent)
             out_agg = aggregate_sampled_half(
-                x, rel_all, edge_tab, h_out, self.n_ent)
+                x, rel_all, et_out, h_out, self.n_ent)
             in_res = in_agg @ c.in_weight
             out_res = out_agg @ c.out_weight
         elif cfg.use_pallas:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"
             in_agg = aggregate_half_pallas(
-                x, rel_all, edge_tab, graph.inb, self.n_ent, interp)
+                x, rel_all, et_in, graph.inb, self.n_ent, interp)
             out_agg = aggregate_half_pallas(
-                x, rel_all, edge_tab, graph.outb, self.n_ent, interp)
+                x, rel_all, et_out, graph.outb, self.n_ent, interp)
             in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.agg_schedule == "reference":
             from kgc_gcn_tpu.ops.scatter import aggregate_half_reference_schedule
             in_res = aggregate_half_reference_schedule(
-                x, rel_all, edge_tab, graph.inb, c.in_weight, self.n_ent)
+                x, rel_all, et_in, graph.inb, c.in_weight, self.n_ent)
             out_res = aggregate_half_reference_schedule(
-                x, rel_all, edge_tab, graph.outb, c.out_weight, self.n_ent)
+                x, rel_all, et_out, graph.outb, c.out_weight, self.n_ent)
         else:
-            in_agg = aggregate_half(x, rel_all, edge_tab, graph.inb, self.n_ent)
-            out_agg = aggregate_half(x, rel_all, edge_tab, graph.outb, self.n_ent)
+            in_agg = aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent)
+            out_agg = aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent)
             in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         loop_res = mm(loop_messages(x, c.loop_rel, c.loop_edge), c.loop_weight,

@@ -27,20 +27,24 @@ from kgc_gcn_tpu.data.graph import GraphHalf
 def sample_half(key: jax.Array, half: GraphHalf, num_samples: int,
                 n_edge_real: int) -> GraphHalf:
     """Uniformly sample ``num_samples`` edges (with replacement) from the
-    real (unpadded) edges of a half; norms are rescaled by E/K."""
+    real (unpadded) edges of a half; norms are rescaled by E/K.
+
+    The returned half's ``eid`` holds the sampled POSITIONS within the half
+    (real edges occupy positions ``[0, e_real)``), which index the half's
+    positional edge-embedding slice directly (see models/mgcn.py layout).
+    """
     idx = jax.random.randint(key, (num_samples,), 0, n_edge_real)
     scale = jnp.float32(n_edge_real) / jnp.float32(num_samples)
     return GraphHalf(
         src=half.src[idx],
         dst=half.dst[idx],
         rel=half.rel[idx],
-        eid=half.eid[idx],
+        eid=idx,
         norm=half.norm[idx] * scale,
         indptr=half.indptr,       # NOT valid for the sample; unused by the
         sperm=half.sperm,         # unsorted segment-sum path
         s_indptr=half.s_indptr,
-        eid_order=half.eid_order,
-        eid_base=half.eid_base,
+        s_src=half.s_src,
         e_real=half.e_real,
     )
 
@@ -48,11 +52,11 @@ def sample_half(key: jax.Array, half: GraphHalf, num_samples: int,
 def aggregate_sampled_half(
     x: jax.Array,
     rel_all: jax.Array,
-    edge_tab: jax.Array,
-    half: GraphHalf,
+    etab: jax.Array,      # (E_pad, d) this half's positional embedding slice
+    half: GraphHalf,      # a sampled half from ``sample_half``
     n_ent: int,
 ) -> jax.Array:
     """Compose + unsorted scatter-add for a sampled (unsorted) half."""
-    msg = (x[half.src] * rel_all[half.rel] * edge_tab[half.eid]) \
+    msg = (x[half.src] * rel_all[half.rel] * etab[half.eid]) \
         * half.norm[:, None]
     return jax.ops.segment_sum(msg, half.dst, num_segments=n_ent)

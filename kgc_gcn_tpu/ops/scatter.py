@@ -32,23 +32,28 @@ from kgc_gcn_tpu.data.graph import GraphHalf
 def compose_messages(
     x: jax.Array,          # (N, d_in) entity embeddings
     rel_all: jax.Array,    # (2R + 1, d_in) relation embeddings (+ loop row)
-    edge_tab: jax.Array,   # (2E, d_in) per-edge embeddings
+    etab: jax.Array,       # (E_pad, d_in) THIS HALF's per-edge embeddings, in
+                           #   the half's dst-sorted edge order (positional —
+                           #   row k belongs to edge position k; see
+                           #   models/mgcn.py for the table layout)
     half: GraphHalf,
 ) -> jax.Array:
-    """Per-edge composed message ``x[src] * rel[rel] * edge[eid] * norm``.
+    """Per-edge composed message ``x[src] * rel[rel] * etab * norm``.
 
     Element-wise (CompGCN-mult style) composition incl. the learned per-edge
     embedding — reference model.py:111-118 — with the norm folded in here so
-    the projection can happen after aggregation.
+    the projection can happen after aggregation.  The per-edge table arrives
+    pre-sliced in edge order, so it needs NO gather (a (E, d) row gather costs
+    ~0.16 ms per call at WN18RR scale on TPU).
     """
-    msg = x[half.src] * rel_all[half.rel] * edge_tab[half.eid]
+    msg = x[half.src] * rel_all[half.rel] * etab
     return msg * half.norm[:, None]
 
 
 def aggregate_half(
     x: jax.Array,
     rel_all: jax.Array,
-    edge_tab: jax.Array,
+    etab: jax.Array,       # (E_pad, d_in) positional slice, see compose_messages
     half: GraphHalf,
     n_ent: int,
 ) -> jax.Array:
@@ -56,7 +61,7 @@ def aggregate_half(
 
     Padding edges have ``norm == 0`` and contribute nothing.
     """
-    msg = compose_messages(x, rel_all, edge_tab, half)
+    msg = compose_messages(x, rel_all, etab, half)
     return jax.ops.segment_sum(
         msg, half.dst, num_segments=n_ent, indices_are_sorted=True)
 
@@ -64,7 +69,7 @@ def aggregate_half(
 def aggregate_half_reference_schedule(
     x: jax.Array,
     rel_all: jax.Array,
-    edge_tab: jax.Array,
+    etab: jax.Array,       # (E_pad, d_in) positional slice, see compose_messages
     half: GraphHalf,
     weight: jax.Array,     # (d_in, d_out) direction weight
     n_ent: int,
@@ -76,7 +81,7 @@ def aggregate_half_reference_schedule(
     d_out without exploiting sort order.  Returns ``(N, d_out)`` — note the
     fused path returns ``(N, d_in)`` and projects after aggregation.
     """
-    msg = (x[half.src] * rel_all[half.rel] * edge_tab[half.eid]) @ weight
+    msg = (x[half.src] * rel_all[half.rel] * etab) @ weight
     msg = msg * half.norm[:, None]
     return jax.ops.segment_sum(msg, half.dst, num_segments=n_ent)
 

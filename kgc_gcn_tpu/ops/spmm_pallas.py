@@ -24,8 +24,9 @@ offsets before the body runs.
 The backward of a segment-sum is a plain gather (``g[dst]``), wired up with
 ``jax.custom_vjp``; the gradient scatter into ``x[src]`` that autodiff then
 needs is itself a segment-sum over SOURCE-sorted edges, which reuses this same
-kernel through the precomputed ``sperm``/``s_indptr`` (see
-``aggregate_half_pallas``).
+kernel through the precomputed ``sperm``/``s_indptr``/``s_src``; the relation
+gradient is a one-hot MXU matmul and the edge-embedding gradient is the dense
+per-edge product itself (the table is stored in edge order — models/mgcn.py).
 """
 
 from __future__ import annotations
@@ -173,56 +174,82 @@ def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
-def _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                    indptr, sperm, s_indptr, eid_order,
-                    n_ent, eid_base, e_real, interpret):
-    msg = (x[src] * rel_all[rel] * edge_tab[eid]) * norm[:, None]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
+                    indptr, sperm, s_indptr, s_src,
+                    n_ent, interpret):
+    msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
     return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
 
 
-def _agg_fwd(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-             indptr, sperm, s_indptr, eid_order,
-             n_ent, eid_base, e_real, interpret):
-    out = _aggregate_cvjp(x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                          indptr, sperm, s_indptr, eid_order,
-                          n_ent, eid_base, e_real, interpret)
-    return out, (x, rel_all, edge_tab, src, dst, rel, eid, norm,
-                 sperm, s_indptr, eid_order)
+def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
+             indptr, sperm, s_indptr, s_src,
+             n_ent, interpret):
+    out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
+                          indptr, sperm, s_indptr, s_src,
+                          n_ent, interpret)
+    return out, (x, rel_all, etab, src, dst, rel, norm,
+                 sperm, s_indptr, s_src)
 
 
-def _agg_bwd(n_ent, eid_base, e_real, interpret, res, g):
-    (x, rel_all, edge_tab, src, dst, rel, eid, norm,
-     sperm, s_indptr, eid_order) = res
+def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int) -> jax.Array:
+    """Segment-sum into FEW segments (the 2R+1 relation rows).
+
+    XLA lowers the scatter mostly serially (~0.6 ms per half per step at
+    WN18RR scale, 25% of the whole backward); with few segments the sum is a
+    ``onehot(ids)ᵀ @ vals`` MXU matmul instead.  The one-hot is exact in bf16,
+    so splitting ``vals`` into hi/lo bf16 halves keeps full f32 accuracy in two
+    MXU passes (same trick as the forward kernel).  Falls back to the scatter
+    when the one-hot would be large (many relations, e.g. FB15k-237).
+    """
+    e = vals.shape[0]
+    if n_seg * e > 64 * 1024 * 1024:   # one-hot bigger than ~128 MB in bf16
+        return jax.ops.segment_sum(vals, ids, num_segments=n_seg)
+    onehot_t = (ids[None, :] == jnp.arange(n_seg, dtype=ids.dtype)[:, None]
+                ).astype(jnp.bfloat16)                       # (n_seg, E)
+    dn = (((1,), (0,)), ((), ()))
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _agg_bwd(n_ent, interpret, res, g):
+    (x, rel_all, etab, src, dst, rel, norm,
+     sperm, s_indptr, s_src) = res
     xg = x[src]
     rg = rel_all[rel]
-    eg = edge_tab[eid]
     gd = g[dst] * norm[:, None]                  # (E, D) cotangent per edge
 
-    # d_x: segment-sum over src — src-sorted so the kernel applies again
-    contrib = gd * rg * eg
+    # d_x: segment-sum over src — the precomputed src-sorted permutation
+    # (s_src = src[sperm], a static array: recomputing that 1-D int gather
+    # on device costs ~0.6 ms per half) lets the kernel apply again
+    contrib = gd * rg * etab
     dx = segment_sum_pallas(
-        contrib[sperm], src[sperm], s_indptr, x.shape[0], interpret=interpret)
+        contrib[sperm], s_src, s_indptr, x.shape[0], interpret=interpret)
 
-    # d_rel: few segments — XLA scatter-add is fine
-    d_rel = jax.ops.segment_sum(gd * xg * eg, rel,
-                                num_segments=rel_all.shape[0])
+    # d_rel: few segments — one-hot MXU matmul (scatter fallback for many rels)
+    d_rel = _segment_sum_few(gd * xg * etab, rel, rel_all.shape[0])
 
-    # d_edge_tab: edge ids are unique (padding ids sort past e_real), so the
-    # scatter is really an inverse permutation — a gather + one block write
-    rows = (gd * xg * rg)[eid_order]
-    d_edge = jax.lax.dynamic_update_slice(
-        jnp.zeros_like(edge_tab), rows[:e_real], (eid_base, 0))
+    # d_etab: the table slice is stored in THIS edge order (positional), so
+    # its gradient is just the dense per-edge product — no permutation, no
+    # scatter (padding rows have norm 0, hence zero gradient)
+    d_etab = gd * xg * rg
 
-    return (dx, d_rel, d_edge) + (None,) * 9
+    return (dx, d_rel, d_etab) + (None,) * 8
 
 
 _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
 
 
-def aggregate_half_pallas(x, rel_all, edge_tab, half: GraphHalf, n_ent: int,
+def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
                           interpret: bool = False):
     """Pallas-backed drop-in for ops.scatter.aggregate_half.
+
+    ``etab`` is this half's per-edge embedding slice in the half's dst-sorted
+    edge order (positional — see models/mgcn.py for the table layout).
 
     Forward: compose per-edge messages (XLA fuses the gathers + elementwise),
     then MXU segment-sum over dst.  Backward: cotangents flow through
@@ -230,11 +257,11 @@ def aggregate_half_pallas(x, rel_all, edge_tab, half: GraphHalf, n_ent: int,
       * ``d_msg = g[dst] * (partners)`` — gathers + elementwise (XLA),
       * ``d_x`` — a segment-sum over SOURCE, evaluated with this same kernel
         on the src-sorted permutation (``half.sperm``/``half.s_indptr``),
-      * ``d_rel`` — segment-sum over relation ids (tiny; XLA scatter),
-      * ``d_edge_tab`` — a gather through the precomputed eid inverse
-        permutation (edge ids are unique) + one contiguous block write.
+      * ``d_rel`` — one-hot MXU matmul over relation ids,
+      * ``d_etab`` — the dense per-edge product itself (positional layout
+        makes the edge-embedding gradient scatter-free).
     """
     return _aggregate_cvjp(
-        x, rel_all, edge_tab, half.src, half.dst, half.rel, half.eid,
-        half.norm, half.indptr, half.sperm, half.s_indptr, half.eid_order,
-        n_ent, half.eid_base, half.e_real, interpret)
+        x, rel_all, etab, half.src, half.dst, half.rel,
+        half.norm, half.indptr, half.sperm, half.s_indptr, half.s_src,
+        n_ent, interpret)

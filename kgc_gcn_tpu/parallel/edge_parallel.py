@@ -46,17 +46,21 @@ def make_sharded_aggregate(mesh: Mesh, n_ent: int):
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(rep, rep, rep, edge, edge, edge, edge, edge),
+        in_specs=(rep, rep, edge, edge, edge, edge, edge),
         out_specs=rep,
     )
-    def _agg(x, rel_all, edge_tab, src, dst, rel, eid, norm):
-        msg = (x[src] * rel_all[rel] * edge_tab[eid]) * norm[:, None]
+    def _agg(x, rel_all, etab, src, dst, rel, norm):
+        msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
         local = jax.ops.segment_sum(
             msg, dst, num_segments=n_ent, indices_are_sorted=True)
         return jax.lax.psum(local, GRAPH_AXIS)
 
-    def agg(x, rel_all, edge_tab, half: GraphHalf):
-        return _agg(x, rel_all, edge_tab, half.src, half.dst, half.rel,
-                    half.eid, half.norm)
+    def agg(x, rel_all, etab, half: GraphHalf):
+        """``etab`` is the half's positional edge-embedding slice; because the
+        table layout follows the half's dst-sorted edge order, sharding it
+        along ``graph`` puts every edge's embedding row on the SAME device as
+        the edge itself — per-edge gathers stay local by construction (the
+        'edge-embedding table sharding' hard part of SURVEY.md §7)."""
+        return _agg(x, rel_all, etab, half.src, half.dst, half.rel, half.norm)
 
     return agg

@@ -46,15 +46,15 @@ def _half_sharding(mesh: Mesh, half: GraphHalf) -> GraphHalf:
     edge = NamedSharding(mesh, P(GRAPH_AXIS))
     rep = NamedSharding(mesh, P())
     return GraphHalf(src=edge, dst=edge, rel=edge, eid=edge, norm=edge,
-                     indptr=rep, sperm=edge, s_indptr=rep, eid_order=edge,
-                     eid_base=half.eid_base, e_real=half.e_real)
+                     indptr=rep, sperm=edge, s_indptr=rep, s_src=edge,
+                     e_real=half.e_real)
 
 
 def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
     """Edge-partition both halves along the ``graph`` axis.
 
-    ``e_pad`` is built as a multiple of 128 (data/graph.py), so any graph-axis
-    size dividing 128 shards evenly; padding edges are zero-norm no-ops on
+    ``e_pad`` is built as a multiple of 256 (data/graph.py), so any graph-axis
+    size dividing 256 shards evenly; padding edges are zero-norm no-ops on
     whichever shard they land.
     """
     sh = Graph(inb=_half_sharding(mesh, graph.inb),

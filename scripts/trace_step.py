@@ -1,0 +1,113 @@
+"""Capture a device trace of the full training step and print the op breakdown.
+
+Runs a few scanned training steps under ``jax.profiler.trace``, then parses the
+TensorBoard ``trace.json.gz`` and aggregates device-op durations by name so the
+hot ops are visible without TensorBoard (not installed here).
+
+Usage: python scripts/trace_step.py [pallas|fused]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STEPS = 20
+
+
+def main(mode="pallas"):
+    import jax
+    import jax.numpy as jnp
+    from kgc_gcn_tpu.config import dataset_preset
+    from kgc_gcn_tpu.data.batching import make_query_bank
+    from kgc_gcn_tpu.data.graph import build_graph
+    from kgc_gcn_tpu.models import build_model
+    from kgc_gcn_tpu.train.loop import Trainer
+    from kgc_gcn_tpu.train.optim import make_optimizer
+
+    n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
+    rng = np.random.default_rng(0)
+    tri = np.stack([
+        rng.integers(n_ent, size=n_edge),
+        rng.integers(n_rel, size=n_edge),
+        rng.integers(n_ent, size=n_edge),
+    ], axis=1).astype(np.int64)
+    graph = build_graph(tri, n_ent, n_rel)
+
+    cfg = dataset_preset("WN18RR", batch_size=batch)
+    if mode == "pallas":
+        cfg = cfg.replace(use_pallas=True)
+    model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    queries = tri[:, :2].astype(np.int32)
+    labels = [[int(o)] for o in tri[:, 2]]
+    bank = make_query_bank(queries, labels, n_ent)
+    trainer = Trainer(cfg, model, graph, {"train": bank})
+    lr = jnp.float32(cfg.learning_rate)
+
+    idx = jnp.asarray(rng.integers(n_edge, size=(STEPS, batch)).astype(np.int32))
+    mask = jnp.ones((STEPS, batch), jnp.float32)
+
+    def run(p, s, o, seed):
+        p, s, o, loss = trainer._train_epoch_jit(
+            p, s, o, graph, jax.random.PRNGKey(seed), lr, idx, mask,
+            bank.queries, bank.label_idx)
+        return p, s, o, float(loss)
+
+    p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
+
+    logdir = "/tmp/jax_trace"
+    import shutil
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    p, s, o, _ = run(p, s, o, 2)
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        print("NO TRACE FILES — profiler unsupported through tunnel?")
+        print(os.popen(f"find {logdir} -type f").read())
+        return
+    with gzip.open(traces[0], "rt") as f:
+        data = json.load(f)
+
+    # aggregate complete events by (pid-process-name, event name)
+    procs = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            procs[ev["pid"]] = ev["args"].get("name", str(ev["pid"]))
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            pname = procs.get(ev.get("pid"), "?")
+            if "TPU" in pname or "tpu" in pname or "device" in pname.lower():
+                key = ev["name"]
+                agg[key] += ev["dur"]
+                cnt[key] += 1
+    if not agg:
+        # fall back: all complete events
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "X" and "dur" in ev:
+                key = f'{procs.get(ev.get("pid"), "?")}::{ev["name"]}'
+                agg[key] += ev["dur"]
+                cnt[key] += 1
+    total = sum(agg.values())
+    print(f"# process names: {sorted(set(procs.values()))}")
+    print(f"# total device-op time: {total/1e3:.2f} ms over {STEPS} steps")
+    for name, us in agg.most_common(40):
+        print(f"{us/1e3:9.3f} ms  x{cnt[name]:<5d} {us/max(total,1)*100:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "pallas")

@@ -54,14 +54,20 @@ def _bn_eval(x, p, s, axis, eps=1e-5):
     return (x - rs(s.mean)) / np.sqrt(rs(s.var) + eps) * rs(p.scale) + rs(p.bias)
 
 
-def _oracle_forward(ds, cfg, params, state, src, rel):
-    """Reference forward math in numpy + torch, eval mode."""
+def _oracle_forward(ds, cfg, params, state, src, rel, graph):
+    """Reference forward math in numpy + torch, eval mode.
+
+    ``params.edge_embeddings`` is stored positionally (models/mgcn.py); map it
+    to the reference's edge-id numbering so the oracle can index row i for
+    reference edge i (reference model.py:18, data_loader.py:148).
+    """
+    from kgc_gcn_tpu.data.graph import edge_table_to_reference_order
     torch = pytest.importorskip("torch")
     N, R, E = ds.num_entity, ds.num_relation, ds.num_edge
     x = np.asarray(params.entity_embedding)
     rels = np.concatenate([np.asarray(params.relation_embedding),
                            np.asarray(params.conv.loop_rel)], axis=0)
-    edge_tab = np.asarray(params.edge_embeddings)
+    edge_tab = edge_table_to_reference_order(params.edge_embeddings, graph)
     c = params.conv
     tri = ds.train_triples
 
@@ -114,7 +120,8 @@ def test_mgcn_forward_matches_reference_math(toy, toy_cfg):
     ds, g, _ = toy
     cfg = toy_cfg
     rng = np.random.default_rng(42)
-    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     params, state = _randomize_bn(params, state, rng)
 
@@ -124,7 +131,7 @@ def test_mgcn_forward_matches_reference_math(toy, toy_cfg):
     logits, _ = model.apply(params, state, g, jnp.asarray(src),
                             jnp.asarray(rel), train=False)
     oracle_logits, oracle_ent, oracle_rel = _oracle_forward(
-        ds, cfg, params, state, src, rel)
+        ds, cfg, params, state, src, rel, g)
 
     # per-layer: encoder activations
     all_ent, all_rel, _ = model.encode(params, state, g, train=False)

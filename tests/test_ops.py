@@ -17,19 +17,20 @@ def test_aggregate_half_matches_numpy(toy):
     d = 8
     x = rng.normal(size=(ds.num_entity, d)).astype(np.float32)
     rel_all = rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32)
-    edge_tab = rng.normal(size=(2 * ds.num_edge, d)).astype(np.float32)
+    # per-half positional slice (models/mgcn.py table layout)
+    etab = rng.normal(size=(g.e_pad, d)).astype(np.float32)
 
     out = np.asarray(aggregate_half(
-        jnp.asarray(x), jnp.asarray(rel_all), jnp.asarray(edge_tab),
+        jnp.asarray(x), jnp.asarray(rel_all), jnp.asarray(etab),
         g.inb, ds.num_entity))
 
     expect = np.zeros((ds.num_entity, d), np.float32)
-    src, dst, rel, eid, norm = (np.asarray(a) for a in
-                                (g.inb.src, g.inb.dst, g.inb.rel, g.inb.eid, g.inb.norm))
+    src, dst, rel, norm = (np.asarray(a) for a in
+                           (g.inb.src, g.inb.dst, g.inb.rel, g.inb.norm))
     for e in range(len(src)):
         if norm[e] == 0.0:
-            continue  # padding (eid is out of range by design)
-        expect[dst[e]] += x[src[e]] * rel_all[rel[e]] * edge_tab[eid[e]] * norm[e]
+            continue  # padding
+        expect[dst[e]] += x[src[e]] * rel_all[rel[e]] * etab[e] * norm[e]
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
 
 
@@ -121,3 +122,43 @@ def test_rank_metrics_padding_ignored():
     ranks = jnp.asarray([1, 1])
     m = rank_metrics(ranks, jnp.asarray([1.0, 0.0]))
     assert float(m["count"]) == 1 and float(m["hits@1"]) == 1
+
+
+def test_segment_sum_few_matches_scatter():
+    """One-hot MXU formulation of the few-segment sum (d_rel backward)."""
+    from kgc_gcn_tpu.ops.spmm_pallas import _segment_sum_few
+    rng = np.random.default_rng(7)
+    e, d, n_seg = 513, 12, 23
+    vals = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32) * 10)
+    ids = jnp.asarray(rng.integers(0, n_seg, size=e).astype(np.int32))
+    out = _segment_sum_few(vals, ids, n_seg)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n_seg)
+    # hi/lo bf16 split: ~1e-6 relative per element; sums of ~20 terms land
+    # within ~1e-3 absolute at these magnitudes
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_conve_im2col_matches_lax_conv():
+    """im2col+matmul ConvE convolution == lax.conv, fwd and grads."""
+    from kgc_gcn_tpu.models.decoders import _conv2d_c1_im2col
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(3, 1, 20, 20)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 1, 7, 7)).astype(np.float32))
+
+    def ref_fn(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    ref = ref_fn(x, w)
+    out = _conv2d_c1_im2col(x, w, "float32")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda x, w: jnp.sum(jnp.tanh(
+        _conv2d_c1_im2col(x, w, "float32"))), argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: jnp.sum(jnp.tanh(ref_fn(x, w))),
+                  argnums=(0, 1))(x, w)
+    for a, b, name in zip(g1, g2, ("x", "w")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)

@@ -51,7 +51,7 @@ def test_aggregate_half_pallas_forward(toy):
     d = 8
     x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
     rel = jnp.asarray(rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32))
-    et = jnp.asarray(rng.normal(size=(2 * ds.num_edge, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
     ours = aggregate_half_pallas(x, rel, et, g.inb, ds.num_entity, _interp())
     ref = aggregate_half(x, rel, et, g.inb, ds.num_entity)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
@@ -65,7 +65,7 @@ def test_aggregate_half_pallas_gradients(toy):
     d = 8
     x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
     rel = jnp.asarray(rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32))
-    et = jnp.asarray(rng.normal(size=(2 * ds.num_edge, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
 
     def loss_pallas(x, rel, et):
@@ -85,9 +85,10 @@ def test_aggregate_half_pallas_gradients(toy):
 def test_mgcn_with_pallas_matches_plain(toy, toy_cfg):
     from kgc_gcn_tpu.models import build_model
     ds, g, _ = toy
-    m_plain = build_model(toy_cfg, ds.num_entity, ds.num_relation, ds.num_edge)
-    m_pallas = build_model(toy_cfg.replace(use_pallas=True),
-                           ds.num_entity, ds.num_relation, ds.num_edge)
+    m_plain = build_model(toy_cfg, ds.num_entity, ds.num_relation,
+                          ds.num_edge, e_pad=g.e_pad)
+    m_pallas = build_model(toy_cfg.replace(use_pallas=True), ds.num_entity,
+                           ds.num_relation, ds.num_edge, e_pad=g.e_pad)
     params, state = m_plain.init(jax.random.PRNGKey(0))
     src = jnp.asarray([0, 1], jnp.int32)
     rel = jnp.asarray([0, 1], jnp.int32)

@@ -23,7 +23,8 @@ def eight_devices():
 def _setup(toy, toy_cfg):
     ds, g, banks = toy
     cfg = toy_cfg.replace(num_filter=2, batch_size=8)
-    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
@@ -103,7 +104,7 @@ def test_shard_map_aggregate_matches_single_device(toy, eight_devices):
     x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
     rel = jnp.asarray(rng.normal(
         size=(2 * ds.num_relation + 1, d)).astype(np.float32))
-    et = jnp.asarray(rng.normal(size=(2 * ds.num_edge, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
 
     mesh = make_mesh(data=1, graph=8)
     gs = shard_graph(g, mesh)

@@ -17,7 +17,7 @@ def test_sampled_aggregation_is_unbiased(toy):
     rel = jnp.asarray(rng.normal(
         size=(2 * ds.num_relation + 1, d)).astype(np.float32))
     et = jnp.asarray(rng.normal(
-        size=(2 * ds.num_edge, d)).astype(np.float32))
+        size=(g.e_pad, d)).astype(np.float32))   # in-half positional slice
 
     exact = np.asarray(aggregate_half(x, rel, et, g.inb, ds.num_entity))
 
@@ -45,7 +45,8 @@ def test_mgcn_sampled_training_runs(toy, toy_cfg):
     from kgc_gcn_tpu.models import build_model
     ds, g, _ = toy
     cfg = toy_cfg.replace(edge_sample_size=16)
-    m = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    m = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                    e_pad=g.e_pad)
     params, state = m.init(jax.random.PRNGKey(0))
     src = jnp.asarray([0, 1], jnp.int32)
     rel = jnp.asarray([0, 1], jnp.int32)
@@ -55,6 +56,7 @@ def test_mgcn_sampled_training_runs(toy, toy_cfg):
     # eval path ignores sampling (deterministic full-graph encode)
     l1, _ = m.apply(params, state, g, src, rel, train=False)
     cfg0 = toy_cfg.replace(edge_sample_size=0)
-    m0 = build_model(cfg0, ds.num_entity, ds.num_relation, ds.num_edge)
+    m0 = build_model(cfg0, ds.num_entity, ds.num_relation, ds.num_edge,
+                     e_pad=g.e_pad)
     l2, _ = m0.apply(params, state, g, src, rel, train=False)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)

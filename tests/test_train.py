@@ -17,7 +17,8 @@ def _setup_once(toy, toy_cfg):
     ds, g, banks = toy
     cfg = toy_cfg.replace(max_epoch=3, eval_every=1, min_epoch=0,
                           num_filter=2, lbl_smooth=0.1)
-    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
@@ -123,7 +124,8 @@ def test_negative_sampling_smoke(toy, toy_cfg):
     cfg = toy_cfg.replace(model="rgcn", decoder="distmult",
                           train_mode="negative_sampling", num_negatives=4,
                           num_bases=2)
-    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
