@@ -19,8 +19,10 @@ early in round 1.  Three reps, median reported.
 schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
 measured throughput (SURVEY.md §6).
 
-Modes: ``python bench.py [fused|reference|pallas]`` — default pallas (the
-fastest verified path).
+Modes: ``python bench.py [fused|reference|pallas|stacked|bf16]`` — default
+pallas (per-half kernels, f32: the fastest verified full-precision path).
+``stacked`` is the one-launch fused-compose layout (multi-chip oriented);
+``bf16`` casts matmul operands to bfloat16 (f32 accumulation).
 """
 
 import json
@@ -60,6 +62,10 @@ def main(mode: str = "pallas"):
         cfg = cfg.replace(agg_schedule="reference")
     elif mode == "pallas":
         cfg = cfg.replace(use_pallas=True)
+    elif mode == "stacked":
+        cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")
+    elif mode == "bf16":
+        cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)

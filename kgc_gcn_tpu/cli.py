@@ -78,6 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--spmm_mode", default="halves", choices=["halves", "stacked"])
     p.add_argument("--no_scan_epoch", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--data_axis", default=1, type=int)
@@ -97,7 +98,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks train_mode num_negatives edge_sample_size "
-        "compute_dtype use_pallas eval_batch_size data_axis graph_axis "
+        "compute_dtype use_pallas spmm_mode eval_batch_size data_axis graph_axis "
         "data_dir experiments_dir"
     ).split():
         val = getattr(args, field)

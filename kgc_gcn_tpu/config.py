@@ -71,6 +71,16 @@ class Config:
                                      # TPU layout: its backward alone was the
                                      # single most expensive op of the step)
     use_pallas: bool = False         # fused Pallas SpMM for relational aggregation
+    spmm_mode: str = "halves"        # halves | stacked — Pallas launch layout.
+                                     # halves: per-direction kernels over XLA-
+                                     # precomposed messages (fastest measured on
+                                     # v5e single chip: the in-kernel compose's
+                                     # extra DMA stream + rel matmuls cost more
+                                     # than the XLA passes they replace).
+                                     # stacked: ONE launch + one gather for both
+                                     # directions with in-VMEM composition —
+                                     # fewer, bigger ops; the layout meant for
+                                     # edge-partitioned multi-chip execution.
     agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size

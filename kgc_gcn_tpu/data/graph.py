@@ -72,9 +72,36 @@ class GraphHalf:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class GraphStacked:
+    """Both direction halves as ONE edge list (the hot-path view).
+
+    The out-half's destination ids are offset by ``n_ent``, so the segment id
+    space is ``[0, 2N)`` and the concatenation [in-half (dst-sorted); out-half
+    (dst-sorted)] is globally dst-sorted.  One gather, one compose, one kernel
+    launch then produce BOTH directions' aggregations as rows ``[0:N]`` and
+    ``[N:2N]`` of a single segment-sum — half the op count of per-half calls.
+    Position k indexes row k of the positionally-stored edge-embedding table
+    (models/mgcn.py), i.e. the whole table is consumed as one contiguous
+    (2*E_pad, d) slice.
+    """
+
+    src: jax.Array       # int32 (2*E_pad,) — source entity ids (both halves)
+    dst2: jax.Array      # int32 (2*E_pad,) — dst + n_ent*is_out_half; sorted
+    rel: jax.Array       # int32 (2*E_pad,) — relation ids (out half: rel + R)
+    norm: jax.Array      # float32 (2*E_pad,) — degree norms; 0 on padding
+    indptr: jax.Array    # int32 (2N + 1,) — CSR pointers over dst2
+    sperm: jax.Array     # int32 (2*E_pad,) — permutation sorting src (both
+                         #   halves together: d_x sums over src globally)
+    s_indptr: jax.Array  # int32 (N + 1,) — CSR pointers over src[sperm]
+    s_src: jax.Array     # int32 (2*E_pad,) — src[sperm], precomputed
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class Graph:
     inb: GraphHalf       # original orientation (src, rel, dst)
     outb: GraphHalf      # reversed orientation (dst, rel + R, src)
+    stacked: GraphStacked  # both halves as one dst-sorted edge list
     n_ent: int = _static(default=0)
     n_rel: int = _static(default=0)   # R; relation tables hold 2R (+1 loop)
     n_edge: int = _static(default=0)  # E = true (unpadded) edges per half
@@ -195,6 +222,25 @@ def build_graph(
 
     inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, pad_to)
     outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, 2 * e, pad_to)
+    e_pad = int(inb.src.shape[0])
 
-    return Graph(inb=inb, outb=outb, n_ent=n_ent, n_rel=n_rel,
-                 n_edge=e, e_pad=int(inb.src.shape[0]))
+    # stacked view: concat the (already dst-sorted) halves, offsetting the
+    # out-half's dst by N — the result is globally sorted over [0, 2N)
+    s_src = np.concatenate([np.asarray(inb.src), np.asarray(outb.src)])
+    s_dst2 = np.concatenate([np.asarray(inb.dst),
+                             np.asarray(outb.dst) + n_ent]).astype(np.int32)
+    s_rel = np.concatenate([np.asarray(inb.rel), np.asarray(outb.rel)])
+    s_norm = np.concatenate([np.asarray(inb.norm), np.asarray(outb.norm)])
+    indptr2 = np.zeros(2 * n_ent + 1, np.int32)
+    indptr2[1:] = np.cumsum(np.bincount(s_dst2, minlength=2 * n_ent))
+    sp = np.argsort(s_src, kind="stable").astype(np.int32)
+    sip = np.zeros(n_ent + 1, np.int32)
+    sip[1:] = np.cumsum(np.bincount(s_src, minlength=n_ent))
+    stacked = GraphStacked(
+        src=jnp.asarray(s_src), dst2=jnp.asarray(s_dst2),
+        rel=jnp.asarray(s_rel), norm=jnp.asarray(s_norm),
+        indptr=jnp.asarray(indptr2), sperm=jnp.asarray(sp),
+        s_indptr=jnp.asarray(sip), s_src=jnp.asarray(s_src[sp]))
+
+    return Graph(inb=inb, outb=outb, stacked=stacked, n_ent=n_ent,
+                 n_rel=n_rel, n_edge=e, e_pad=e_pad)

@@ -92,6 +92,7 @@ class MGCN:
         self.n_edge = n_edge
         # must match the Graph's per-half padded edge count (build_graph)
         self.e_pad = e_pad if e_pad is not None else padded_edge_count(n_edge)
+        self.d_pad = -(-cfg.gcn_in_dim // 128) * 128
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
 
     # ------------------------------------------------------------------ init
@@ -148,6 +149,7 @@ class MGCN:
         x = params.entity_embedding
         rel_all = jnp.concatenate([params.relation_embedding, c.loop_rel], axis=0)
         # per-half contiguous slices of the positionally-stored table
+        d_in = cfg.gcn_in_dim
         et_in = params.edge_embeddings[: self.e_pad]
         et_out = params.edge_embeddings[self.e_pad:]
 
@@ -164,6 +166,19 @@ class MGCN:
                 x, rel_all, et_out, h_out, self.n_ent)
             in_res = in_agg @ c.in_weight
             out_res = out_agg @ c.out_weight
+        elif cfg.use_pallas and cfg.spmm_mode == "stacked":
+            # fused both-halves kernel over the stacked view: one gather, one
+            # launch; aggregates come back 128-wide with zero pad columns, so
+            # project with row-padded weights (identical result, no re-slice)
+            from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_pallas
+            interp = jax.default_backend() != "tpu"
+            in_agg, out_agg = aggregate_stacked_pallas(
+                x, rel_all, params.edge_embeddings, graph.stacked,
+                self.n_ent, interp)
+            wpad = ((0, self.d_pad - d_in), (0, 0))
+            in_res = mm(in_agg, jnp.pad(c.in_weight, wpad), cfg.compute_dtype)
+            out_res = mm(out_agg, jnp.pad(c.out_weight, wpad),
+                         cfg.compute_dtype)
         elif cfg.use_pallas:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"

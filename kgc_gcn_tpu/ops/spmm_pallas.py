@@ -172,6 +172,263 @@ def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
     return out[:n_rows, :d_orig]
 
 
+# ---------------------------------------------- fused compose+aggregate kernel
+
+def _fused_kernel(bounds_ref, rel_hi_ref, rel_lo_ref,
+                  xgn_hbm, etab_hbm, rid_hbm, dst_hbm, out_ref,
+                  xg_vmem, et_vmem, rid_vmem, dst_vmem, sems,
+                  *, tile_n, tile_e):
+    """Segment-sum of ``xgn * rel_all[rid] * etab`` over dst tiles.
+
+    Composition happens IN VMEM: per chunk the kernel DMAs the (norm-folded)
+    gathered source rows and the contiguous edge-embedding rows, builds the
+    relation rows with a one-hot MXU matmul against the VMEM-resident relation
+    table (hi/lo bf16 split for exact f32), multiplies elementwise, and
+    accumulates through the dst one-hot matmul.  This kills the XLA-side
+    (E, 128) message materialization (relation gather + two multiply passes +
+    re-pad) that a precomposed-message kernel needs.
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    row0 = t * tile_n
+    a0 = pl.multiple_of((start // tile_e) * tile_e, tile_e)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    n_chunks = pl.cdiv(end - a0, tile_e)
+
+    def dmas(slot, ci):
+        e0 = pl.multiple_of(a0 + ci * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                xgn_hbm.at[pl.ds(e0, tile_e), :], xg_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                etab_hbm.at[pl.ds(e0, tile_e), :], et_vmem.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                rid_hbm.at[:, pl.ds(e0, tile_e)], rid_vmem.at[slot],
+                sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem.at[slot],
+                sems.at[slot, 3]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for cp in dmas(1 - slot, ci + 1):
+                cp.start()
+
+        for cp in dmas(slot, ci):
+            cp.wait()
+
+        n_rel_pad = rel_hi_ref.shape[0]
+        dn_rel = (((0,), (0,)), ((), ()))    # (R', E_t) x (R', D) -> (E_t, D)
+        rel_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_rel_pad, tile_e), 0)
+        rel_onehot_t = (rel_iota == rid_vmem[slot]).astype(jnp.bfloat16)
+        rel_rows = (
+            jax.lax.dot_general(rel_onehot_t, rel_hi_ref[:],
+                                dimension_numbers=dn_rel,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(rel_onehot_t, rel_lo_ref[:],
+                                  dimension_numbers=dn_rel,
+                                  preferred_element_type=jnp.float32))
+
+        m = xg_vmem[slot] * rel_rows * et_vmem[slot]
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, tile_e), 0) + row0
+        dn = (((1,), (0,)), ((), ()))
+        onehot_t = (rows == dst_vmem[slot]).astype(jnp.bfloat16)
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[:] += (
+            jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _fused_compose_segment_sum(xgn, etab, rid, dst, rel_hi, rel_lo, indptr,
+                               n_rows: int, interpret: bool = False):
+    """(E, 128) norm-folded source rows + (E, 128) edge rows + rel ids ->
+    (n_rows, 128) segment-sum of composed messages (dst non-decreasing)."""
+    e, d = xgn.shape
+    assert d % 128 == 0, d
+    e_al = -(-e // TILE_E) * TILE_E
+    if e_al != e:   # tiny test graphs; production edge counts are pre-aligned
+        pad = e_al - e
+        xgn = jnp.pad(xgn, ((0, pad), (0, 0)))
+        etab = jnp.pad(etab, ((0, pad), (0, 0)))
+        rid = jnp.pad(rid, (0, pad))
+        dst = jnp.pad(dst, (0, pad), constant_values=np.int32(2**30))
+    n_tiles = -(-n_rows // TILE_N)
+
+    tile_rows = jnp.minimum(np.arange(n_tiles + 1) * TILE_N, n_rows)
+    bounds = indptr[tile_rows].astype(jnp.int32)
+
+    kernel = functools.partial(_fused_kernel, tile_n=TILE_N, tile_e=TILE_E)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_hi (R'pad, D)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_lo (R'pad, D)
+                pl.BlockSpec(memory_space=pl.ANY),       # xgn in HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # etab in HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # rel ids (1, E)
+                pl.BlockSpec(memory_space=pl.ANY),       # dst (1, E)
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_N, d), lambda t, bounds: (t, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, TILE_E, d), xgn.dtype),
+                pltpu.VMEM((2, TILE_E, d), etab.dtype),
+                pltpu.VMEM((2, 1, TILE_E), jnp.int32),
+                pltpu.VMEM((2, 1, TILE_E), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, rel_hi, rel_lo, xgn, etab,
+      rid.reshape(1, -1), dst.reshape(1, -1))
+
+
+def _pad_rows(a, mult):
+    r = a.shape[0]
+    rp = -(-r // mult) * mult
+    return a if rp == r else jnp.pad(a, ((0, rp - r), (0, 0)))
+
+
+def _pad_cols(a, mult=128):
+    c = a.shape[1]
+    cp = -(-c // mult) * mult
+    return a if cp == c else jnp.pad(a, ((0, 0), (0, cp - c)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _aggregate_stacked_cvjp(x, rel_all, etab, src, dst2, rel, norm,
+                            indptr2, sdata, n_ent, interpret):
+    """Both-halves aggregation: returns (2N, 128) — rows [0:N] in, [N:2N] out.
+
+    ``etab`` is the WHOLE positionally-stored table (2*E_pad, d), lane-padded
+    to 128 internally; ``sdata = (sperm, s_indptr, s_src)`` drives the
+    src-sorted backward.
+    """
+    del sdata
+    # gather at the NATIVE lane width then pad: a row gather from a 128-lane
+    # array is ~2.3x slower than from a 100-lane one on this TPU (measured),
+    # and XLA fuses the norm multiply + pad into the gather consumer
+    xgn = _pad_cols(x[src] * norm[:, None])
+    et128 = _pad_cols(etab)
+    rel128 = _pad_rows(_pad_cols(rel_all), 8)
+    rel_hi = rel128.astype(jnp.bfloat16)
+    rel_lo = (rel128 - rel_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _fused_compose_segment_sum(
+        xgn, et128, rel, dst2, rel_hi, rel_lo, indptr2, 2 * n_ent,
+        interpret=interpret)[: 2 * n_ent]
+
+
+def _agg_stacked_fwd(x, rel_all, etab, src, dst2, rel, norm,
+                     indptr2, sdata, n_ent, interpret):
+    xgn = _pad_cols(x[src] * norm[:, None])
+    et128 = _pad_cols(etab)
+    rel128 = _pad_rows(_pad_cols(rel_all), 8)
+    rel_hi = rel128.astype(jnp.bfloat16)
+    rel_lo = (rel128 - rel_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _fused_compose_segment_sum(
+        xgn, et128, rel, dst2, rel_hi, rel_lo, indptr2, 2 * n_ent,
+        interpret=interpret)[: 2 * n_ent]
+    return out, (x, rel_all, et128, xgn, src, dst2, rel, norm, sdata)
+
+
+def _agg_stacked_bwd(n_ent, interpret, res, g):
+    x, rel_all, etab, xgn, src, dst2, rel, norm, sdata = res
+    sperm, s_indptr, s_src = sdata   # etab here is the 128-padded copy
+    d = x.shape[1]
+    n_rel = rel_all.shape[0]
+
+    g128 = _pad_cols(g)                       # (2N, 128); pad cols are zero
+    gdst = g128[dst2]                         # (E2, 128) cotangent rows
+    gdn = gdst * norm[:, None]
+    gx = gdst * xgn                           # = gd * x[src] (norm folded once)
+
+    # relation rows, materialized once for the backward (the forward never
+    # stores them): one-hot MXU matmul when the one-hot fits, row gather for
+    # large relation vocabularies (FB15k-scale)
+    rel128 = _pad_rows(_pad_cols(rel_all), 8)
+    if rel128.shape[0] * rel.shape[0] <= 64 * 1024 * 1024:
+        onehot_t = (rel[None, :] == jnp.arange(rel128.shape[0],
+                                               dtype=rel.dtype)[:, None]
+                    ).astype(jnp.bfloat16)    # (R'pad, E2)
+        dn = (((0,), (0,)), ((), ()))
+        rel_hi = rel128.astype(jnp.bfloat16)
+        rel_lo = (rel128 - rel_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rel_rows = (jax.lax.dot_general(
+                        onehot_t, rel_hi, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        onehot_t, rel_lo, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32))
+    else:
+        rel_rows = rel128[rel]
+
+    # d_x: segment-sum over src of gd * rel_rows * etab (src-sorted kernel)
+    contrib = gdn * rel_rows * etab
+    dx = segment_sum_pallas(
+        contrib[sperm], s_src, s_indptr, x.shape[0],
+        interpret=interpret)[:, :d]
+
+    # d_rel: one-hot MXU matmul of gd * x[src] * etab over relation ids
+    d_rel = _segment_sum_few(gx * etab, rel, n_rel)[:, :d]
+
+    # d_etab: dense per-edge product (positional layout: scatter-free)
+    d_etab = (gx * rel_rows)[:, :d]
+
+    return (dx, d_rel, d_etab) + (None,) * 6
+
+
+_aggregate_stacked_cvjp.defvjp(_agg_stacked_fwd, _agg_stacked_bwd)
+
+
+def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
+                             interpret: bool = False):
+    """Fused both-halves aggregation over the stacked graph view.
+
+    Returns ``(in_agg, out_agg)`` — each ``(N, 128)`` f32 with zero padding
+    columns beyond ``x.shape[1]`` (project with row-padded weights, or slice).
+    One XLA gather + one Pallas launch cover BOTH direction halves; the whole
+    edge-embedding table is consumed positionally with no gather (see
+    data/graph.py ``GraphStacked`` and models/mgcn.py for the layouts).
+    """
+    out = _aggregate_stacked_cvjp(
+        x, rel_all, etab, stacked.src, stacked.dst2, stacked.rel,
+        stacked.norm, stacked.indptr,
+        (stacked.sperm, stacked.s_indptr, stacked.s_src),
+        n_ent, interpret)
+    return out[:n_ent], out[n_ent:]
+
+
 # ------------------------------------------------------- aggregation with VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from kgc_gcn_tpu.data.graph import Graph, GraphHalf
+from kgc_gcn_tpu.data.graph import Graph, GraphHalf, GraphStacked
 
 DATA_AXIS = "data"
 GRAPH_AXIS = "graph"
@@ -50,6 +50,13 @@ def _half_sharding(mesh: Mesh, half: GraphHalf) -> GraphHalf:
                      e_real=half.e_real)
 
 
+def _stacked_sharding(mesh: Mesh, st: GraphStacked) -> GraphStacked:
+    edge = NamedSharding(mesh, P(GRAPH_AXIS))
+    rep = NamedSharding(mesh, P())
+    return GraphStacked(src=edge, dst2=edge, rel=edge, norm=edge,
+                        indptr=rep, sperm=edge, s_indptr=rep, s_src=edge)
+
+
 def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
     """Edge-partition both halves along the ``graph`` axis.
 
@@ -59,6 +66,7 @@ def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
     """
     sh = Graph(inb=_half_sharding(mesh, graph.inb),
                outb=_half_sharding(mesh, graph.outb),
+               stacked=_stacked_sharding(mesh, graph.stacked),
                n_ent=graph.n_ent, n_rel=graph.n_rel,
                n_edge=graph.n_edge, e_pad=graph.e_pad)
     return jax.tree.map(

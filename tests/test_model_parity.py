@@ -67,7 +67,8 @@ def _oracle_forward(ds, cfg, params, state, src, rel, graph):
     x = np.asarray(params.entity_embedding)
     rels = np.concatenate([np.asarray(params.relation_embedding),
                            np.asarray(params.conv.loop_rel)], axis=0)
-    edge_tab = edge_table_to_reference_order(params.edge_embeddings, graph)
+    edge_tab = edge_table_to_reference_order(
+        params.edge_embeddings, graph)[:, :cfg.gcn_in_dim]
     c = params.conv
     tri = ds.train_triples
 

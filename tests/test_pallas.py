@@ -96,3 +96,45 @@ def test_mgcn_with_pallas_matches_plain(toy, toy_cfg):
     l2, _ = m_pallas.apply(params, state, g, src, rel, train=False)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+    m_stacked = build_model(
+        toy_cfg.replace(use_pallas=True, spmm_mode="stacked"),
+        ds.num_entity, ds.num_relation, ds.num_edge, e_pad=g.e_pad)
+    l3, _ = m_stacked.apply(params, state, g, src, rel, train=False)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l3),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_aggregate_stacked_pallas_matches_halves(toy):
+    """Fused both-halves kernel == the two per-half aggregations, fwd + grads."""
+    from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_pallas
+
+    ds, g, _ = toy
+    rng = np.random.default_rng(5)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    # positionally-stored table (models/mgcn.py layout); the op lane-pads
+    et = jnp.asarray(rng.normal(size=(2 * g.e_pad, d)).astype(np.float32))
+
+    w_in = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    w_out = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    def loss_stacked(x, rel, et):
+        ia, oa = aggregate_stacked_pallas(x, rel, et, g.stacked,
+                                          ds.num_entity, _interp())
+        return jnp.sum(ia[:, :d] * w_in) + jnp.sum(oa[:, :d] * w_out)
+
+    def loss_plain(x, rel, et):
+        ia = aggregate_half(x, rel, et[: g.e_pad], g.inb, ds.num_entity)
+        oa = aggregate_half(x, rel, et[g.e_pad:], g.outb, ds.num_entity)
+        return jnp.sum(ia * w_in) + jnp.sum(oa * w_out)
+
+    np.testing.assert_allclose(
+        float(loss_stacked(x, rel, et)), float(loss_plain(x, rel, et)),
+        rtol=1e-5)
+    g1 = jax.grad(loss_stacked, argnums=(0, 1, 2))(x, rel, et)
+    g2 = jax.grad(loss_plain, argnums=(0, 1, 2))(x, rel, et)
+    for a, b, name in zip(g1, g2, ("x", "rel", "edge")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
