@@ -19,10 +19,11 @@ early in round 1.  Three reps, median reported.
 schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
 measured throughput (SURVEY.md §6).
 
-Modes: ``python bench.py [fused|reference|pallas|stacked|bf16]`` — default
-pallas (per-half kernels, f32: the fastest verified full-precision path).
-``stacked`` is the one-launch fused-compose layout (multi-chip oriented);
-``bf16`` casts matmul operands to bfloat16 (f32 accumulation).
+Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k]`` —
+default pallas (per-half kernels, f32: the fastest verified full-precision
+path).  ``stacked`` is the one-launch fused-compose layout (multi-chip
+oriented); ``bf16`` casts matmul operands to bfloat16 (f32 accumulation);
+``fb15k`` runs the pallas path at FB15k-237 scale (N=14541, R=237, E=272115).
 """
 
 import json
@@ -46,7 +47,12 @@ def main(mode: str = "pallas"):
     from kgc_gcn_tpu.train.loop import Trainer
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
+    if mode == "fb15k":
+        # FB15k-237-scale synthetic graph (many relations, dense):
+        # exercises the rel-sorted d_rel path and the 17M-row edge table
+        n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
+    else:
+        n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
     steps = 50
 
     rng = np.random.default_rng(0)
@@ -57,10 +63,11 @@ def main(mode: str = "pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    cfg = dataset_preset("WN18RR", batch_size=batch)
+    cfg = dataset_preset("WN18RR" if mode != "fb15k" else "FB15k-237",
+                         batch_size=batch)
     if mode == "reference":
         cfg = cfg.replace(agg_schedule="reference")
-    elif mode == "pallas":
+    elif mode in ("pallas", "fb15k"):
         cfg = cfg.replace(use_pallas=True)
     elif mode == "stacked":
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")

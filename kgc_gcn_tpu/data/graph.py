@@ -67,6 +67,11 @@ class GraphHalf:
     s_src: jax.Array     # int32 (E_pad,) — src[sperm], precomputed (a 1-D int
                          #   gather is surprisingly expensive on TPU: ~0.6 ms
                          #   per half per step when done inside the backward)
+    rperm: jax.Array     # int32 (E_pad,) — permutation sorting rel: the
+    r_indptr: jax.Array  # int32 (2R + 2,) — relation-gradient segment-sum
+    r_rel: jax.Array     # int32 (E_pad,) — rel[rperm]; runs through the same
+                         #   Pallas kernel when the relation vocabulary is too
+                         #   large for a one-hot matmul (FB15k-scale)
     e_real: int = _static(default=0)     # unpadded edge count
 
 
@@ -94,6 +99,9 @@ class GraphStacked:
                          #   halves together: d_x sums over src globally)
     s_indptr: jax.Array  # int32 (N + 1,) — CSR pointers over src[sperm]
     s_src: jax.Array     # int32 (2*E_pad,) — src[sperm], precomputed
+    rperm: jax.Array     # int32 (2*E_pad,) — rel-sorted permutation (d_rel)
+    r_indptr: jax.Array  # int32 (2R + 2,)
+    r_rel: jax.Array     # int32 (2*E_pad,) — rel[rperm]
 
 
 @jax.tree_util.register_dataclass
@@ -133,8 +141,15 @@ def _reference_norm(row: np.ndarray, col: np.ndarray, n_ent: int) -> np.ndarray:
     return (dinv[row] * dinv[col]).astype(np.float32)
 
 
+def _rel_sort(rel: np.ndarray, n_rel_rows: int):
+    rperm = np.argsort(rel, kind="stable").astype(np.int32)
+    r_indptr = np.zeros(n_rel_rows + 1, np.int32)
+    r_indptr[1:] = np.cumsum(np.bincount(rel, minlength=n_rel_rows))
+    return rperm, r_indptr, rel[rperm].astype(np.int32)
+
+
 def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
-                pad_to: int) -> GraphHalf:
+                n_rel_rows: int, pad_to: int) -> GraphHalf:
     e = len(src)
     norm = _reference_norm(src, dst, n_ent)
     order = np.argsort(dst, kind="stable")
@@ -160,6 +175,7 @@ def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
     indptr = csr_pointers(dst)           # padding lands in row n_ent - 1
     sperm = np.argsort(src, kind="stable").astype(np.int32)
     s_indptr = csr_pointers(src)         # padding (src=0) lands in row 0
+    rperm, r_indptr, r_rel = _rel_sort(rel, n_rel_rows)
 
     return GraphHalf(
         src=jnp.asarray(src, jnp.int32),
@@ -171,6 +187,9 @@ def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
         sperm=jnp.asarray(sperm, jnp.int32),
         s_indptr=jnp.asarray(s_indptr, jnp.int32),
         s_src=jnp.asarray(src[sperm], jnp.int32),
+        rperm=jnp.asarray(rperm),
+        r_indptr=jnp.asarray(r_indptr),
+        r_rel=jnp.asarray(r_rel),
         e_real=e,
     )
 
@@ -220,8 +239,10 @@ def build_graph(
     e = len(src)
     eid = np.arange(e, dtype=np.int32)
 
-    inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, pad_to)
-    outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, 2 * e, pad_to)
+    n_rel_rows = 2 * n_rel + 1   # rel_all rows incl. the appended loop rel
+    inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, n_rel_rows, pad_to)
+    outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, 2 * e,
+                       n_rel_rows, pad_to)
     e_pad = int(inb.src.shape[0])
 
     # stacked view: concat the (already dst-sorted) halves, offsetting the
@@ -236,11 +257,14 @@ def build_graph(
     sp = np.argsort(s_src, kind="stable").astype(np.int32)
     sip = np.zeros(n_ent + 1, np.int32)
     sip[1:] = np.cumsum(np.bincount(s_src, minlength=n_ent))
+    rp, rip, rr = _rel_sort(s_rel, n_rel_rows)
     stacked = GraphStacked(
         src=jnp.asarray(s_src), dst2=jnp.asarray(s_dst2),
         rel=jnp.asarray(s_rel), norm=jnp.asarray(s_norm),
         indptr=jnp.asarray(indptr2), sperm=jnp.asarray(sp),
-        s_indptr=jnp.asarray(sip), s_src=jnp.asarray(s_src[sp]))
+        s_indptr=jnp.asarray(sip), s_src=jnp.asarray(s_src[sp]),
+        rperm=jnp.asarray(rp), r_indptr=jnp.asarray(rip),
+        r_rel=jnp.asarray(rr))
 
     return Graph(inb=inb, outb=outb, stacked=stacked, n_ent=n_ent,
                  n_rel=n_rel, n_edge=e, e_pad=e_pad)

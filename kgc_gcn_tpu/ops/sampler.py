@@ -45,6 +45,9 @@ def sample_half(key: jax.Array, half: GraphHalf, num_samples: int,
         sperm=half.sperm,         # unsorted segment-sum path
         s_indptr=half.s_indptr,
         s_src=half.s_src,
+        rperm=half.rperm,
+        r_indptr=half.r_indptr,
+        r_rel=half.r_rel,
         e_real=half.e_real,
     )
 

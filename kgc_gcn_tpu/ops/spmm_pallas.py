@@ -43,6 +43,9 @@ from kgc_gcn_tpu.data.graph import GraphHalf
 
 TILE_N = 256   # destination rows per program
 TILE_E = 256   # edges per DMA chunk
+ONEHOT_LIMIT = 64 * 1024 * 1024   # max one-hot element count (~128 MB bf16)
+#   above this, relation one-hot matmuls fall back to rel-sorted kernel /
+#   row-gather paths (FB15k-scale vocabularies)
 
 
 def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
@@ -332,8 +335,8 @@ def _aggregate_stacked_cvjp(x, rel_all, etab, src, dst2, rel, norm,
     """Both-halves aggregation: returns (2N, 128) — rows [0:N] in, [N:2N] out.
 
     ``etab`` is the WHOLE positionally-stored table (2*E_pad, d), lane-padded
-    to 128 internally; ``sdata = (sperm, s_indptr, s_src)`` drives the
-    src-sorted backward.
+    to 128 internally; ``sdata = (sperm, s_indptr, s_src, rperm, r_indptr,
+    r_rel)`` drives the src-sorted / rel-sorted backward passes.
     """
     del sdata
     # gather at the NATIVE lane width then pad: a row gather from a 128-lane
@@ -364,8 +367,8 @@ def _agg_stacked_fwd(x, rel_all, etab, src, dst2, rel, norm,
 
 def _agg_stacked_bwd(n_ent, interpret, res, g):
     x, rel_all, etab, xgn, src, dst2, rel, norm, sdata = res
-    sperm, s_indptr, s_src = sdata   # etab here is the 128-padded copy
-    d = x.shape[1]
+    sperm, s_indptr, s_src, rperm, r_indptr, r_rel = sdata
+    d = x.shape[1]                   # etab here is the 128-padded copy
     n_rel = rel_all.shape[0]
 
     g128 = _pad_cols(g)                       # (2N, 128); pad cols are zero
@@ -377,7 +380,7 @@ def _agg_stacked_bwd(n_ent, interpret, res, g):
     # stores them): one-hot MXU matmul when the one-hot fits, row gather for
     # large relation vocabularies (FB15k-scale)
     rel128 = _pad_rows(_pad_cols(rel_all), 8)
-    if rel128.shape[0] * rel.shape[0] <= 64 * 1024 * 1024:
+    if rel128.shape[0] * rel.shape[0] <= ONEHOT_LIMIT:
         onehot_t = (rel[None, :] == jnp.arange(rel128.shape[0],
                                                dtype=rel.dtype)[:, None]
                     ).astype(jnp.bfloat16)    # (R'pad, E2)
@@ -400,7 +403,9 @@ def _agg_stacked_bwd(n_ent, interpret, res, g):
         interpret=interpret)[:, :d]
 
     # d_rel: one-hot MXU matmul of gd * x[src] * etab over relation ids
-    d_rel = _segment_sum_few(gx * etab, rel, n_rel)[:, :d]
+    d_rel = _segment_sum_few(gx * etab, rel, n_rel,
+                             rdata=(rperm, r_indptr, r_rel),
+                             interpret=interpret)[:, :d]
 
     # d_etab: dense per-edge product (positional layout: scatter-free)
     d_etab = (gx * rel_rows)[:, :d]
@@ -424,44 +429,54 @@ def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
     out = _aggregate_stacked_cvjp(
         x, rel_all, etab, stacked.src, stacked.dst2, stacked.rel,
         stacked.norm, stacked.indptr,
-        (stacked.sperm, stacked.s_indptr, stacked.s_src),
+        (stacked.sperm, stacked.s_indptr, stacked.s_src,
+         stacked.rperm, stacked.r_indptr, stacked.r_rel),
         n_ent, interpret)
     return out[:n_ent], out[n_ent:]
 
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
 def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
-                    indptr, sperm, s_indptr, s_src,
+                    indptr, sperm, s_indptr, s_src, rdata,
                     n_ent, interpret):
     msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
     return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
 
 
 def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
-             indptr, sperm, s_indptr, s_src,
+             indptr, sperm, s_indptr, s_src, rdata,
              n_ent, interpret):
     out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
-                          indptr, sperm, s_indptr, s_src,
+                          indptr, sperm, s_indptr, s_src, rdata,
                           n_ent, interpret)
     return out, (x, rel_all, etab, src, dst, rel, norm,
-                 sperm, s_indptr, s_src)
+                 sperm, s_indptr, s_src, rdata)
 
 
-def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int) -> jax.Array:
+def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
+                     rdata=None, interpret: bool = False) -> jax.Array:
     """Segment-sum into FEW segments (the 2R+1 relation rows).
 
     XLA lowers the scatter mostly serially (~0.6 ms per half per step at
     WN18RR scale, 25% of the whole backward); with few segments the sum is a
     ``onehot(ids)ᵀ @ vals`` MXU matmul instead.  The one-hot is exact in bf16,
     so splitting ``vals`` into hi/lo bf16 halves keeps full f32 accuracy in two
-    MXU passes (same trick as the forward kernel).  Falls back to the scatter
-    when the one-hot would be large (many relations, e.g. FB15k-237).
+    MXU passes (same trick as the forward kernel).  When the one-hot would be
+    large (many relations, e.g. FB15k-237), the precomputed rel-sorted
+    permutation ``rdata = (rperm, r_indptr, r_rel)`` routes the sum through
+    the Pallas CSR kernel instead (XLA scatter as last resort).
     """
     e = vals.shape[0]
-    if n_seg * e > 64 * 1024 * 1024:   # one-hot bigger than ~128 MB in bf16
-        return jax.ops.segment_sum(vals, ids, num_segments=n_seg)
+    if n_seg * e > ONEHOT_LIMIT:   # one-hot bigger than ~128 MB in bf16
+        if rdata is None:
+            return jax.ops.segment_sum(vals, ids, num_segments=n_seg)
+        rperm, r_indptr, r_rel = rdata
+        d = vals.shape[1]
+        out = segment_sum_pallas(_pad_cols(vals[rperm]), r_rel, r_indptr,
+                                 n_seg, interpret=interpret)
+        return out[:, :d]
     onehot_t = (ids[None, :] == jnp.arange(n_seg, dtype=ids.dtype)[:, None]
                 ).astype(jnp.bfloat16)                       # (n_seg, E)
     dn = (((1,), (0,)), ((), ()))
@@ -475,7 +490,7 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int) -> jax.Array:
 
 def _agg_bwd(n_ent, interpret, res, g):
     (x, rel_all, etab, src, dst, rel, norm,
-     sperm, s_indptr, s_src) = res
+     sperm, s_indptr, s_src, rdata) = res
     xg = x[src]
     rg = rel_all[rel]
     gd = g[dst] * norm[:, None]                  # (E, D) cotangent per edge
@@ -487,15 +502,16 @@ def _agg_bwd(n_ent, interpret, res, g):
     dx = segment_sum_pallas(
         contrib[sperm], s_src, s_indptr, x.shape[0], interpret=interpret)
 
-    # d_rel: few segments — one-hot MXU matmul (scatter fallback for many rels)
-    d_rel = _segment_sum_few(gd * xg * etab, rel, rel_all.shape[0])
+    # d_rel: few segments — one-hot MXU matmul (rel-sorted Pallas for many rels)
+    d_rel = _segment_sum_few(gd * xg * etab, rel, rel_all.shape[0],
+                             rdata=rdata, interpret=interpret)
 
     # d_etab: the table slice is stored in THIS edge order (positional), so
     # its gradient is just the dense per-edge product — no permutation, no
     # scatter (padding rows have norm 0, hence zero gradient)
     d_etab = gd * xg * rg
 
-    return (dx, d_rel, d_etab) + (None,) * 8
+    return (dx, d_rel, d_etab) + (None,) * 9
 
 
 _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
@@ -521,4 +537,5 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
     return _aggregate_cvjp(
         x, rel_all, etab, half.src, half.dst, half.rel,
         half.norm, half.indptr, half.sperm, half.s_indptr, half.s_src,
+        (half.rperm, half.r_indptr, half.r_rel),
         n_ent, interpret)

@@ -35,7 +35,7 @@ from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
 def make_sharded_aggregate(mesh: Mesh, n_ent: int):
     """Build the shard_map'd aggregation for one direction half.
 
-    Returns ``agg(x, rel_all, edge_tab, half) -> (N, d_in)``, numerically
+    Returns ``agg(x, rel_all, etab, half) -> (N, d_in)``, numerically
     equal to ``ops.scatter.aggregate_half`` (up to float reassociation across
     shards).  ``half``'s edge arrays must be device-put with the
     ``graph``-axis sharding (parallel.mesh.shard_graph).

@@ -47,6 +47,7 @@ def _half_sharding(mesh: Mesh, half: GraphHalf) -> GraphHalf:
     rep = NamedSharding(mesh, P())
     return GraphHalf(src=edge, dst=edge, rel=edge, eid=edge, norm=edge,
                      indptr=rep, sperm=edge, s_indptr=rep, s_src=edge,
+                     rperm=edge, r_indptr=rep, r_rel=edge,
                      e_real=half.e_real)
 
 
@@ -54,7 +55,8 @@ def _stacked_sharding(mesh: Mesh, st: GraphStacked) -> GraphStacked:
     edge = NamedSharding(mesh, P(GRAPH_AXIS))
     rep = NamedSharding(mesh, P())
     return GraphStacked(src=edge, dst2=edge, rel=edge, norm=edge,
-                        indptr=rep, sperm=edge, s_indptr=rep, s_src=edge)
+                        indptr=rep, sperm=edge, s_indptr=rep, s_src=edge,
+                        rperm=edge, r_indptr=rep, r_rel=edge)
 
 
 def shard_graph(graph: Graph, mesh: Mesh) -> Graph:

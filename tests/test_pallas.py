@@ -138,3 +138,24 @@ def test_aggregate_stacked_pallas_matches_halves(toy):
     for a, b, name in zip(g1, g2, ("x", "rel", "edge")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_segment_sum_few_rel_sorted_kernel_path(toy, monkeypatch):
+    """Large-relation-vocabulary d_rel route: rel-sorted Pallas segment-sum."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+
+    ds, g, _ = toy
+    rng = np.random.default_rng(11)
+    d = 8
+    n_seg = 2 * ds.num_relation + 1
+    e = int(g.stacked.rel.shape[0])
+    vals = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32))
+    ref = jax.ops.segment_sum(vals, g.stacked.rel, num_segments=n_seg)
+
+    monkeypatch.setattr(sp, "ONEHOT_LIMIT", 0)   # force the large-vocab route
+    out = sp._segment_sum_few(
+        vals, g.stacked.rel, n_seg,
+        rdata=(g.stacked.rperm, g.stacked.r_indptr, g.stacked.r_rel),
+        interpret=_interp())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
