@@ -183,9 +183,11 @@ class MGCN:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"
             in_agg = aggregate_half_pallas(
-                x, rel_all, et_in, graph.inb, self.n_ent, interp)
+                x, rel_all, et_in, graph.inb, self.n_ent, interp,
+                msg_dtype=cfg.compute_dtype)
             out_agg = aggregate_half_pallas(
-                x, rel_all, et_out, graph.outb, self.n_ent, interp)
+                x, rel_all, et_out, graph.outb, self.n_ent, interp,
+                msg_dtype=cfg.compute_dtype)
             in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.agg_schedule == "reference":

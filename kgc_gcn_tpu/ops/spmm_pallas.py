@@ -437,20 +437,25 @@ def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                     indptr, sperm, s_indptr, s_src, rdata,
-                    n_ent, interpret):
+                    n_ent, interpret, msg_dtype="float32"):
     msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
+    if msg_dtype != "float32":
+        # bf16 message mode (compute_dtype=bfloat16): halves the kernel's HBM
+        # traffic and single-passes the MXU (no hi/lo split); accumulation
+        # stays f32 inside the kernel — same precision model as bf16 matmuls
+        msg = msg.astype(msg_dtype)
     return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
 
 
 def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
              indptr, sperm, s_indptr, s_src, rdata,
-             n_ent, interpret):
+             n_ent, interpret, msg_dtype="float32"):
     out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                           indptr, sperm, s_indptr, s_src, rdata,
-                          n_ent, interpret)
+                          n_ent, interpret, msg_dtype)
     return out, (x, rel_all, etab, src, dst, rel, norm,
                  sperm, s_indptr, s_src, rdata)
 
@@ -480,6 +485,9 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
     onehot_t = (ids[None, :] == jnp.arange(n_seg, dtype=ids.dtype)[:, None]
                 ).astype(jnp.bfloat16)                       # (n_seg, E)
     dn = (((1,), (0,)), ((), ()))
+    if vals.dtype == jnp.bfloat16:     # bf16 message mode: one exact MXU pass
+        return jax.lax.dot_general(onehot_t, vals, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
     hi = vals.astype(jnp.bfloat16)
     lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return (jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
@@ -488,7 +496,7 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
                                   preferred_element_type=jnp.float32))
 
 
-def _agg_bwd(n_ent, interpret, res, g):
+def _agg_bwd(n_ent, interpret, msg_dtype, res, g):
     (x, rel_all, etab, src, dst, rel, norm,
      sperm, s_indptr, s_src, rdata) = res
     xg = x[src]
@@ -499,11 +507,15 @@ def _agg_bwd(n_ent, interpret, res, g):
     # (s_src = src[sperm], a static array: recomputing that 1-D int gather
     # on device costs ~0.6 ms per half) lets the kernel apply again
     contrib = gd * rg * etab
+    d_rel_in = gd * xg * etab
+    if msg_dtype != "float32":
+        contrib = contrib.astype(msg_dtype)
+        d_rel_in = d_rel_in.astype(msg_dtype)
     dx = segment_sum_pallas(
         contrib[sperm], s_src, s_indptr, x.shape[0], interpret=interpret)
 
     # d_rel: few segments — one-hot MXU matmul (rel-sorted Pallas for many rels)
-    d_rel = _segment_sum_few(gd * xg * etab, rel, rel_all.shape[0],
+    d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
                              rdata=rdata, interpret=interpret)
 
     # d_etab: the table slice is stored in THIS edge order (positional), so
@@ -518,7 +530,8 @@ _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
 
 
 def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          msg_dtype: str = "float32"):
     """Pallas-backed drop-in for ops.scatter.aggregate_half.
 
     ``etab`` is this half's per-edge embedding slice in the half's dst-sorted
@@ -538,4 +551,4 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
         x, rel_all, etab, half.src, half.dst, half.rel,
         half.norm, half.indptr, half.sperm, half.s_indptr, half.s_src,
         (half.rperm, half.r_indptr, half.r_rel),
-        n_ent, interpret)
+        n_ent, interpret, msg_dtype)

@@ -159,3 +159,34 @@ def test_segment_sum_few_rel_sorted_kernel_path(toy, monkeypatch):
         interpret=_interp())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_aggregate_half_pallas_bf16_messages(toy):
+    """bf16 message mode: forward + grads track f32 within bf16 tolerance."""
+    ds, g, _ = toy
+    rng = np.random.default_rng(5)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    out16 = aggregate_half_pallas(x, rel, et, g.inb, ds.num_entity, _interp(),
+                                  msg_dtype="bfloat16")
+    out32 = aggregate_half_pallas(x, rel, et, g.inb, ds.num_entity, _interp())
+    assert out16.dtype == jnp.float32          # f32 accumulation
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(msg_dtype):
+        def f(x, rel, et):
+            return jnp.sum(aggregate_half_pallas(
+                x, rel, et, g.outb, ds.num_entity, _interp(),
+                msg_dtype=msg_dtype) * w)
+        return f
+
+    g16 = jax.grad(loss("bfloat16"), argnums=(0, 1, 2))(x, rel, et)
+    g32 = jax.grad(loss("float32"), argnums=(0, 1, 2))(x, rel, et)
+    for a, b, name in zip(g16, g32, ("x", "rel", "edge")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2, err_msg=name)
