@@ -234,3 +234,143 @@ def test_rgcn_block_equals_dense_blockdiag(toy, toy_cfg):
             expect[dst[e]] += norm[e] * m
     expect = np.maximum(expect, 0.0)
     np.testing.assert_allclose(np.asarray(all_ent), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_mgcn_train_step_gradients_match_torch_autograd(toy, toy_cfg):
+    """Full training-loss gradient parity vs a torch-autograd oracle.
+
+    The oracle re-implements the reference's train step end-to-end in torch
+    (reference main.py:61-66: forward -> sigmoid -> BCELoss on smoothed
+    multi-hot labels) with message passing via differentiable index_add and
+    train-mode BatchNorm, sharing no code with the implementation under test.
+    Dropout is inactive (deterministic step); gradients are compared for every
+    parameter tensor, with our positional edge-embedding gradient mapped back
+    to the reference's edge-id order.
+    """
+    import torch
+    import torch.nn.functional as F
+    from kgc_gcn_tpu.data.batching import build_labels
+    from kgc_gcn_tpu.data.graph import edge_table_to_reference_order
+    from kgc_gcn_tpu.ops.losses import bce_with_logits
+
+    ds, g, _ = toy
+    cfg = toy_cfg
+    rng = np.random.default_rng(7)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(1))
+    params, state = _randomize_bn(params, state, rng)
+
+    N, R, E = ds.num_entity, ds.num_relation, ds.num_edge
+    src = np.array([0, 3, 5, 1], np.int32)
+    rel = np.array([0, 1, 2 * R - 1, 2], np.int32)
+    label_idx = np.full((4, 3), N, np.int32)
+    label_idx[0, :2] = [2, 4]
+    label_idx[1, 0] = 7
+    label_idx[2, :3] = [1, 2, 3]
+    label_idx[3, 0] = 0
+    y = build_labels(jnp.asarray(label_idx), N, smooth=0.1)
+
+    # ---- our gradients (train mode, no dropout rngs -> deterministic)
+    def our_loss(p):
+        logits, _ = model.apply(p, state, g, jnp.asarray(src),
+                                jnp.asarray(rel), train=True)
+        return bce_with_logits(logits, y)
+
+    our_val = float(our_loss(params))
+    gr = jax.grad(our_loss)(params)
+
+    # ---- torch oracle
+    def t(a, grad=True):
+        x = torch.tensor(np.asarray(a, np.float32))
+        return x.requires_grad_() if grad else x
+
+    c = params.conv
+    d = params.decoder
+    etab_ref = edge_table_to_reference_order(
+        params.edge_embeddings, g)[:, :cfg.gcn_in_dim]
+    leaves = {
+        "x": t(params.entity_embedding),
+        "rel_emb": t(params.relation_embedding),
+        "etab": t(etab_ref),
+        "in_w": t(c.in_weight), "out_w": t(c.out_weight),
+        "loop_w": t(c.loop_weight), "rels_w": t(c.rels_weight),
+        "loop_rel": t(c.loop_rel), "loop_edge": t(c.loop_edge),
+        "bn_s": t(c.bn.scale), "bn_b": t(c.bn.bias),
+        "conv_w": t(d.conv_w),
+        "bn0_s": t(d.bn0.scale), "bn0_b": t(d.bn0.bias),
+        "bn1_s": t(d.bn1.scale), "bn1_b": t(d.bn1.bias),
+        "bn2_s": t(d.bn2.scale), "bn2_b": t(d.bn2.bias),
+        "fc_w": t(d.fc_w), "fc_b": t(d.fc_b),
+        "ent_bias": t(d.ent_bias),
+    }
+    L = leaves
+
+    def bn_train(x, s, p_scale, p_bias, feat_axis=1):
+        rm = torch.tensor(np.asarray(s.mean, np.float32)).clone()
+        rv = torch.tensor(np.asarray(s.var, np.float32)).clone()
+        return F.batch_norm(x, rm, rv, weight=p_scale, bias=p_bias,
+                            training=True, momentum=0.1, eps=1e-5)
+
+    tri = ds.train_triples
+    s_, r_, o_ = (torch.tensor(tri[:, i].astype(np.int64)) for i in range(3))
+
+    def ref_norm(row, col):
+        deg = torch.zeros(N).index_add(0, row, torch.ones(len(row)))
+        dinv = torch.where(deg > 0, deg.pow(-0.5), torch.zeros(()))
+        return dinv[row] * dinv[col]
+
+    rels_full = torch.cat([L["rel_emb"], L["loop_rel"]], dim=0)
+    in_m = ((L["x"][s_] * rels_full[r_] * L["etab"][:E]) @ L["in_w"]
+            ) * ref_norm(s_, o_)[:, None]
+    in_res = torch.zeros(N, cfg.gcn_out_dim).index_add(0, o_, in_m)
+    out_m = ((L["x"][o_] * rels_full[r_ + R] * L["etab"][E:]) @ L["out_w"]
+             ) * ref_norm(o_, s_)[:, None]
+    out_res = torch.zeros(N, cfg.gcn_out_dim).index_add(0, s_, out_m)
+    loop_res = (L["x"] * L["loop_rel"] * L["loop_edge"]) @ L["loop_w"]
+
+    h = (in_res + out_res + loop_res) / 3.0
+    all_ent = torch.tanh(bn_train(h, state.conv_bn, L["bn_s"], L["bn_b"]))
+    all_rel = (rels_full @ L["rels_w"])[:-1]
+
+    se = all_ent[torch.tensor(src.astype(np.int64))]
+    re = all_rel[torch.tensor(rel.astype(np.int64))]
+    stack = torch.cat([se.view(-1, 1, cfg.gcn_out_dim),
+                       re.view(-1, 1, cfg.gcn_out_dim)], dim=1)
+    img = stack.transpose(2, 1).reshape(-1, 1, 2 * cfg.k_w, cfg.k_h)
+    sd = state.decoder
+    z = bn_train(img, sd.bn0, L["bn0_s"], L["bn0_b"])
+    z = F.conv2d(z, L["conv_w"])
+    z = torch.relu(bn_train(z, sd.bn1, L["bn1_s"], L["bn1_b"]))
+    z = z.reshape(len(src), -1)
+    z = z @ L["fc_w"].T + L["fc_b"]
+    z = torch.relu(bn_train(z, sd.bn2, L["bn2_s"], L["bn2_b"]))
+    logits = z @ all_ent.T + L["ent_bias"]
+
+    # the reference's exact loss: BCELoss(sigmoid(x), y) (main.py:62)
+    loss_t = F.binary_cross_entropy(torch.sigmoid(logits),
+                                    torch.tensor(np.asarray(y)))
+    loss_t.backward()
+    np.testing.assert_allclose(our_val, float(loss_t), rtol=1e-5)
+
+    got = {
+        "x": gr.entity_embedding,
+        "rel_emb": gr.relation_embedding,
+        "etab": edge_table_to_reference_order(
+            gr.edge_embeddings, g)[:, :cfg.gcn_in_dim],
+        "in_w": gr.conv.in_weight, "out_w": gr.conv.out_weight,
+        "loop_w": gr.conv.loop_weight, "rels_w": gr.conv.rels_weight,
+        "loop_rel": gr.conv.loop_rel, "loop_edge": gr.conv.loop_edge,
+        "bn_s": gr.conv.bn.scale, "bn_b": gr.conv.bn.bias,
+        "conv_w": gr.decoder.conv_w,
+        "bn0_s": gr.decoder.bn0.scale, "bn0_b": gr.decoder.bn0.bias,
+        "bn1_s": gr.decoder.bn1.scale, "bn1_b": gr.decoder.bn1.bias,
+        "bn2_s": gr.decoder.bn2.scale, "bn2_b": gr.decoder.bn2.bias,
+        "fc_w": gr.decoder.fc_w, "fc_b": gr.decoder.fc_b,
+        "ent_bias": gr.decoder.ent_bias,
+    }
+    for name, ours in got.items():
+        want = leaves[name].grad.numpy()
+        np.testing.assert_allclose(
+            np.asarray(ours), want, rtol=2e-3, atol=1e-5,
+            err_msg=f"gradient mismatch: {name}")
