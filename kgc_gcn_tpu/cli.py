@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", default="WN18RR")
     p.add_argument("--seed", default=19960326, type=int)
     p.add_argument("--restore_dir", default=None)
+    p.add_argument("--restore_torch", default=None,
+                   help="import a reference (PyTorch) last.ckpt file")
     p.add_argument("--multi_gpu", action="store_true",
                    help="accepted for parity; sharding is controlled by --data_axis/--graph_axis")
     p.add_argument("--batch_size", default=128, type=int)
@@ -93,7 +95,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     overrides = {}
     defaults = build_parser().parse_args([])
     for field in (
-        "seed restore_dir batch_size max_epoch min_epoch eval_every patience "
+        "seed restore_dir restore_torch batch_size max_epoch min_epoch eval_every patience "
         "patience_num learning_rate weight_decay lbl_smooth bias gcn_in_dim "
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
@@ -140,6 +142,14 @@ def main(argv=None) -> int:
         trainer = Trainer(cfg, model, graph, banks)
 
     best = 0.0
+    if cfg.restore_torch is not None:
+        from kgc_gcn_tpu.utils.torch_import import load_reference_checkpoint
+        if (cfg.model, cfg.decoder) != ("mgcn", "conve"):
+            raise ValueError("--restore_torch imports the reference "
+                             "architecture only (model=mgcn decoder=conve)")
+        params, state, best = load_reference_checkpoint(cfg.restore_torch, graph)
+        logging.info("Imported reference checkpoint %s (measure: %s)",
+                     cfg.restore_torch, best)
     if cfg.restore_dir is not None:
         tree, best = load_checkpoint(
             cfg.restore_dir,
@@ -154,7 +164,7 @@ def main(argv=None) -> int:
         params, state, opt_state, best = train_and_evaluate(
             trainer, params, state, opt_state, model_dir, best, seed=cfg.seed % 2**32)
     if cfg.do_test:
-        if cfg.restore_dir is None:
+        if cfg.restore_dir is None and cfg.restore_torch is None:
             raise ValueError("Must specify restore dir for testing")
         trainer.evaluate(params, state, "test", mark="Test")
     return 0

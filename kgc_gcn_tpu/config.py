@@ -22,6 +22,8 @@ class Config:
     dataset: str = "WN18RR"
     seed: int = 19960326
     restore_dir: Optional[str] = None
+    restore_torch: Optional[str] = None  # reference last.ckpt to import
+                                         # (utils/torch_import.py)
     batch_size: int = 128
     max_epoch: int = 500
     min_epoch: int = 50
