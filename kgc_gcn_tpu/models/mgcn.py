@@ -71,6 +71,12 @@ class MGCNParams:
     #   data_loader.py:148) for import/export/parity.
     conv: MGCNConvParams
     decoder: Any
+    # depth extension (framework-only; the reference is fixed at one layer):
+    # CompGCN-style stacking — layer k>1 consumes layer k-1's entity AND
+    # relation outputs (both d_out wide) with its own direction weights and
+    # its own positional per-edge table (2*E_pad, d_out)
+    extra_convs: Tuple[MGCNConvParams, ...] = ()
+    extra_edge_embeddings: Tuple[jax.Array, ...] = ()
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +84,7 @@ class MGCNParams:
 class MGCNState:
     conv_bn: BNState
     decoder: Any
+    extra_bn: Tuple[BNState, ...] = ()
 
 
 class MGCN:
@@ -94,12 +101,16 @@ class MGCN:
         self.e_pad = e_pad if e_pad is not None else padded_edge_count(n_edge)
         self.d_pad = -(-cfg.gcn_in_dim // 128) * 128
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
+        self.n_extra = max(1, cfg.num_layers) - 1
+        if self.n_extra and cfg.edge_sample_size > 0:
+            raise ValueError(
+                "edge_sample_size is only supported with num_layers=1")
 
     # ------------------------------------------------------------------ init
 
     def init(self, key: jax.Array) -> Tuple[MGCNParams, MGCNState]:
         cfg = self.cfg
-        keys = jax.random.split(key, 10)
+        keys = jax.random.split(key, 10 + 7 * self.n_extra)
         bn_p, bn_s = bn_init(cfg.gcn_out_dim)
         conv = MGCNConvParams(
             in_weight=xavier_uniform(keys[0], (cfg.gcn_in_dim, cfg.gcn_out_dim)),
@@ -127,8 +138,31 @@ class MGCN:
                 maxval=b),
             conv=conv,
             decoder=dec_p,
+            extra_convs=(), extra_edge_embeddings=(),
         )
-        return params, MGCNState(conv_bn=bn_s, decoder=dec_s)
+        extra_convs, extra_tabs, extra_bns = [], [], []
+        for i in range(self.n_extra):
+            k = keys[10 + 7 * i: 10 + 7 * (i + 1)]
+            d = cfg.gcn_out_dim
+            bnp_k, bns_k = bn_init(d)
+            extra_convs.append(MGCNConvParams(
+                in_weight=xavier_uniform(k[0], (d, d)),
+                out_weight=xavier_uniform(k[1], (d, d)),
+                loop_weight=xavier_uniform(k[2], (d, d)),
+                rels_weight=xavier_uniform(k[3], (d, d)),
+                loop_rel=xavier_uniform(k[4], (1, d)),
+                loop_edge=xavier_uniform(k[5], (1, d)),
+                bn=bnp_k, bias=None))
+            b = float((6.0 / (2 * self.n_edge + d)) ** 0.5)
+            extra_tabs.append(jax.random.uniform(
+                k[6], (2 * self.e_pad, d), jnp.float32, minval=-b, maxval=b))
+            extra_bns.append(bns_k)
+        if self.n_extra:
+            params = dataclasses.replace(
+                params, extra_convs=tuple(extra_convs),
+                extra_edge_embeddings=tuple(extra_tabs))
+        return params, MGCNState(conv_bn=bn_s, decoder=dec_s,
+                                 extra_bn=tuple(extra_bns))
 
     # ---------------------------------------------------------------- encode
 
@@ -141,7 +175,8 @@ class MGCN:
         train: bool = False,
         rngs: Optional[Dict[str, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array, BNState]:
-        """Full-graph encoder → (all_ent (N, d_out), all_rel (2R, d_out), bn_state)."""
+        """Full-graph encoder → (all_ent (N, d_out), all_rel (2R, d_out),
+        enc_aux = (layer-1 BNState, tuple of extra-layer BNStates))."""
         cfg = self.cfg
         rngs = rngs or {}
         c = params.conv
@@ -218,10 +253,51 @@ class MGCN:
         # (reference model.py:107)
         all_rel = mm(rel_all, c.rels_weight, cfg.compute_dtype)[:-1]
 
+        # depth extension: CompGCN-style stacked layers over the same graph —
+        # layer k consumes layer k-1's entity AND relation outputs, with its
+        # own per-edge table; inter-layer entity dropout uses gcn_drop
+        extra_bns = []
+        for i, (ck, et_k) in enumerate(zip(params.extra_convs,
+                                           params.extra_edge_embeddings)):
+            x_k = dropout(all_ent, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
+            rel_k = jnp.concatenate([all_rel, ck.loop_rel], axis=0)
+            in_agg, out_agg = self._agg_halves(x_k, rel_k, et_k, graph)
+            in_res = mm(in_agg, ck.in_weight, cfg.compute_dtype)
+            out_res = mm(out_agg, ck.out_weight, cfg.compute_dtype)
+            loop_res = mm(loop_messages(x_k, ck.loop_rel, ck.loop_edge),
+                          ck.loop_weight, cfg.compute_dtype)
+            h = (dropout(in_res, cfg.conv_drop, rngs.get(f"conv_in{i}"), train)
+                 + dropout(out_res, cfg.conv_drop,
+                           rngs.get(f"conv_out{i}"), train)
+                 + loop_res) / 3.0
+            if ck.bias is not None:
+                h = h + ck.bias
+            h, bn_k = batch_norm(h, ck.bn, state.extra_bn[i], train=train)
+            all_ent = jnp.tanh(h)
+            all_rel = mm(rel_k, ck.rels_weight, cfg.compute_dtype)[:-1]
+            extra_bns.append(bn_k)
+
         # post-encoder entity dropout (reference model.py:34) — applied before
         # BOTH the src gather and the all-entity scoring matmul
         all_ent = dropout(all_ent, cfg.gcn_drop, rngs.get("gcn"), train)
-        return all_ent, all_rel, bn_state
+        return all_ent, all_rel, (bn_state, tuple(extra_bns))
+
+    def _agg_halves(self, x, rel_all, et_full, graph: Graph):
+        """Per-half relational aggregation of a full (2*E_pad, d) edge table
+        (used by the stacked depth layers; layer 1 has its own dispatch)."""
+        cfg = self.cfg
+        et_in, et_out = et_full[: self.e_pad], et_full[self.e_pad:]
+        if cfg.use_pallas:
+            from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
+            interp = jax.default_backend() != "tpu"
+            return (aggregate_half_pallas(x, rel_all, et_in, graph.inb,
+                                          self.n_ent, interp,
+                                          msg_dtype=cfg.compute_dtype),
+                    aggregate_half_pallas(x, rel_all, et_out, graph.outb,
+                                          self.n_ent, interp,
+                                          msg_dtype=cfg.compute_dtype))
+        return (aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent),
+                aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent))
 
     # ---------------------------------------------------------------- decode
 
@@ -266,8 +342,11 @@ class MGCN:
 
     def rebuild_state(self, state: MGCNState, enc_aux, dec_state) -> MGCNState:
         """Reassemble model state from encode's aux (bn stats) + decoder state."""
-        return MGCNState(conv_bn=enc_aux if enc_aux is not None else state.conv_bn,
-                         decoder=dec_state)
+        if enc_aux is None:
+            return MGCNState(conv_bn=state.conv_bn, decoder=dec_state,
+                             extra_bn=state.extra_bn)
+        bn, extra = enc_aux
+        return MGCNState(conv_bn=bn, decoder=dec_state, extra_bn=extra)
 
     # ----------------------------------------------------------------- apply
 
@@ -285,11 +364,13 @@ class MGCN:
         """Full forward: (B,) src/rel query → (B, N) logits over all entities."""
         rngs = {}
         if rng is not None:
-            names = ("conv_in", "conv_out", "gcn", "feat", "hidden",
-                     "sample_in", "sample_out")
+            names = ["conv_in", "conv_out", "gcn", "feat", "hidden",
+                     "sample_in", "sample_out"]
+            for i in range(self.n_extra):
+                names += [f"layer{i}", f"conv_in{i}", f"conv_out{i}"]
             rngs = dict(zip(names, jax.random.split(rng, len(names))))
-        all_ent, all_rel, bn_state = self.encode(
+        all_ent, all_rel, enc_aux = self.encode(
             params, state, graph, train=train, rngs=rngs)
         logits, dec_state = self.decode(
             params, state, all_ent, all_rel, src, rel, train=train, rngs=rngs)
-        return logits, MGCNState(conv_bn=bn_state, decoder=dec_state)
+        return logits, self.rebuild_state(state, enc_aux, dec_state)

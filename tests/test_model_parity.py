@@ -374,3 +374,50 @@ def test_mgcn_train_step_gradients_match_torch_autograd(toy, toy_cfg):
         np.testing.assert_allclose(
             np.asarray(ours), want, rtol=2e-3, atol=1e-5,
             err_msg=f"gradient mismatch: {name}")
+
+
+def test_mgcn_multilayer_depth(toy, toy_cfg):
+    """num_layers>1 (framework depth extension): shapes, gradient flow, and
+    pallas/plain agreement; single-layer behavior is unchanged by the fields."""
+    from kgc_gcn_tpu.ops.losses import bce_with_logits
+
+    ds, g, _ = toy
+    cfg2 = toy_cfg.replace(num_layers=2)
+    m2 = build_model(cfg2, ds.num_entity, ds.num_relation, ds.num_edge,
+                     e_pad=g.e_pad)
+    params, state = m2.init(jax.random.PRNGKey(0))
+    assert len(params.extra_convs) == 1
+    assert params.extra_convs[0].in_weight.shape == (32, 32)
+    assert params.extra_edge_embeddings[0].shape == (2 * g.e_pad, 32)
+
+    src = jnp.asarray([0, 1], jnp.int32)
+    rel = jnp.asarray([0, 1], jnp.int32)
+    logits, ns = m2.apply(params, state, g, src, rel, train=True,
+                          rng=jax.random.PRNGKey(1))
+    assert logits.shape == (2, ds.num_entity)
+    assert len(ns.extra_bn) == 1
+    assert not np.allclose(np.asarray(ns.extra_bn[0].mean),
+                           np.asarray(state.extra_bn[0].mean))
+
+    # gradient reaches the depth-layer parameters
+    y = jnp.zeros((2, ds.num_entity)).at[:, 0].set(1.0)
+
+    def loss(p):
+        lg, _ = m2.apply(p, state, g, src, rel, train=True)
+        return bce_with_logits(lg, y)
+
+    gr = jax.grad(loss)(params)
+    assert float(jnp.abs(gr.extra_convs[0].in_weight).sum()) > 0
+    assert float(jnp.abs(gr.extra_edge_embeddings[0]).sum()) > 0
+
+    # pallas path agrees with the plain XLA path at depth 2
+    m2p = build_model(cfg2.replace(use_pallas=True), ds.num_entity,
+                      ds.num_relation, ds.num_edge, e_pad=g.e_pad)
+    l1, _ = m2.apply(params, state, g, src, rel, train=False)
+    l2, _ = m2p.apply(params, state, g, src, rel, train=False)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="num_layers"):
+        build_model(cfg2.replace(edge_sample_size=4), ds.num_entity,
+                    ds.num_relation, ds.num_edge, e_pad=g.e_pad)
