@@ -204,6 +204,7 @@ def edge_table_to_reference_order(edge_tab: np.ndarray, graph: Graph) -> np.ndar
     """
     tab = np.asarray(edge_tab)
     e_pad = graph.e_pad
+    tab = tab.reshape(2 * e_pad, tab.shape[-1])   # accepts (2, E_pad, d) too
     out = np.zeros((2 * graph.n_edge, tab.shape[1]), tab.dtype)
     for half, base in ((graph.inb, 0), (graph.outb, e_pad)):
         eid = np.asarray(half.eid)[: half.e_real]
@@ -212,14 +213,16 @@ def edge_table_to_reference_order(edge_tab: np.ndarray, graph: Graph) -> np.ndar
 
 
 def edge_table_from_reference_order(ref_tab: np.ndarray, graph: Graph) -> np.ndarray:
-    """Inverse of :func:`edge_table_to_reference_order` (padding rows zero)."""
+    """Inverse of :func:`edge_table_to_reference_order` (padding rows zero).
+
+    Returns the model's ``(2, E_pad, d)`` layout (models/mgcn.py)."""
     ref_tab = np.asarray(ref_tab)
     e_pad = graph.e_pad
     out = np.zeros((2 * e_pad, ref_tab.shape[1]), ref_tab.dtype)
     for half, base in ((graph.inb, 0), (graph.outb, e_pad)):
         eid = np.asarray(half.eid)[: half.e_real]
         out[base: base + half.e_real] = ref_tab[eid]
-    return out
+    return out.reshape(2, e_pad, ref_tab.shape[1])
 
 
 def build_graph(

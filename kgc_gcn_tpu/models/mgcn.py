@@ -59,13 +59,17 @@ class MGCNConvParams:
 class MGCNParams:
     entity_embedding: jax.Array     # (N, d_in)
     relation_embedding: jax.Array   # (2R, d_in)
-    edge_embeddings: jax.Array      # (2*E_pad, d_in) — POSITIONAL layout:
-    #   rows [0:E_pad] are the in-half's edges in ITS dst-sorted order, rows
-    #   [E_pad:2*E_pad] the out-half's.  Compute therefore reads the table as
-    #   two contiguous slices (no (E, d) row gather fwd, no permutation in the
-    #   gradient — both cost ~0.16-0.25 ms per half per step at WN18RR scale).
+    edge_embeddings: jax.Array      # (2, E_pad, d_in) — POSITIONAL layout:
+    #   [0] is the in-half's edges in ITS dst-sorted order, [1] the
+    #   out-half's.  Compute therefore reads the table as two contiguous
+    #   slices (no (E, d) row gather fwd, no permutation in the gradient —
+    #   both cost ~0.16-0.25 ms per half per step at WN18RR scale).
     #   Rows at positions >= e_real per half are padding: zero-norm edges give
     #   them zero gradient, so they stay at init forever and never contribute.
+    #   The leading (2, E_pad) axes let the table shard along E_pad on the
+    #   ``graph`` mesh axis so every edge's embedding row (and its Adam
+    #   moments) lives on the same device as the edge — per-edge access stays
+    #   local under edge partitioning (parallel/mesh.py shard_params).
     #   ``data.graph.edge_table_{to,from}_reference_order`` convert to/from the
     #   reference's edge-id numbering (reference model.py:18,
     #   data_loader.py:148) for import/export/parity.
@@ -132,7 +136,7 @@ class MGCN:
             # real rows' distribution matches reference utils.py:113-118
             # exactly; padding rows never train (zero-norm edges, zero grad)
             edge_embeddings=jax.random.uniform(
-                keys[9], (2 * self.e_pad, cfg.gcn_in_dim), jnp.float32,
+                keys[9], (2, self.e_pad, cfg.gcn_in_dim), jnp.float32,
                 minval=-(b := float(
                     (6.0 / (2 * self.n_edge + cfg.gcn_in_dim)) ** 0.5)),
                 maxval=b),
@@ -155,7 +159,7 @@ class MGCN:
                 bn=bnp_k, bias=None))
             b = float((6.0 / (2 * self.n_edge + d)) ** 0.5)
             extra_tabs.append(jax.random.uniform(
-                k[6], (2 * self.e_pad, d), jnp.float32, minval=-b, maxval=b))
+                k[6], (2, self.e_pad, d), jnp.float32, minval=-b, maxval=b))
             extra_bns.append(bns_k)
         if self.n_extra:
             params = dataclasses.replace(
@@ -185,8 +189,8 @@ class MGCN:
         rel_all = jnp.concatenate([params.relation_embedding, c.loop_rel], axis=0)
         # per-half contiguous slices of the positionally-stored table
         d_in = cfg.gcn_in_dim
-        et_in = params.edge_embeddings[: self.e_pad]
-        et_out = params.edge_embeddings[self.e_pad:]
+        et_in = params.edge_embeddings[0]
+        et_out = params.edge_embeddings[1]
 
         if train and cfg.edge_sample_size > 0 and "sample_in" in rngs:
             # stochastic subgraph training: sample K edges per half on device
@@ -208,8 +212,9 @@ class MGCN:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_pallas
             interp = jax.default_backend() != "tpu"
             in_agg, out_agg = aggregate_stacked_pallas(
-                x, rel_all, params.edge_embeddings, graph.stacked,
-                self.n_ent, interp)
+                x, rel_all,
+                params.edge_embeddings.reshape(2 * self.e_pad, d_in),
+                graph.stacked, self.n_ent, interp)
             wpad = ((0, self.d_pad - d_in), (0, 0))
             in_res = mm(in_agg, jnp.pad(c.in_weight, wpad), cfg.compute_dtype)
             out_res = mm(out_agg, jnp.pad(c.out_weight, wpad),
@@ -283,10 +288,10 @@ class MGCN:
         return all_ent, all_rel, (bn_state, tuple(extra_bns))
 
     def _agg_halves(self, x, rel_all, et_full, graph: Graph):
-        """Per-half relational aggregation of a full (2*E_pad, d) edge table
+        """Per-half relational aggregation of a full (2, E_pad, d) edge table
         (used by the stacked depth layers; layer 1 has its own dispatch)."""
         cfg = self.cfg
-        et_in, et_out = et_full[: self.e_pad], et_full[self.e_pad:]
+        et_in, et_out = et_full[0], et_full[1]
         if cfg.use_pallas:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"

@@ -77,14 +77,35 @@ def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
 
 
 def shard_params(tree, mesh: Mesh):
-    """Replicate a parameter/state/opt pytree across the mesh.
+    """Place a parameter/state/opt pytree on the mesh.
 
-    (Sharded parameter layouts — e.g. the 2E x d edge-embedding table along
-    ``graph`` — are a planned optimization; replication is correct and lets
-    GSPMD choose gather strategies.)
+    Everything is replicated EXCEPT the per-edge embedding tables (the largest
+    parameter — 2E x d, e.g. 2x272k x 100 for FB15k-237): their (2, E_pad, d)
+    positional layout (models/mgcn.py) shards along E_pad on the ``graph``
+    axis, row-aligned with the edge partition (shard_graph), so each edge's
+    embedding row is resident on the device that owns the edge.  Optimizer
+    moments mirror the params pytree, so Adam state for the table shards the
+    same way for free.
     """
+    from kgc_gcn_tpu.models.mgcn import MGCNParams
+
     rep = NamedSharding(mesh, P())
-    return jax.device_put(tree, rep)
+    etab = NamedSharding(mesh, P(None, GRAPH_AXIS, None))
+
+    def place(node):
+        if isinstance(node, MGCNParams):
+            node = jax.device_put(node, rep)
+            import dataclasses
+            return dataclasses.replace(
+                node,
+                edge_embeddings=jax.device_put(node.edge_embeddings, etab),
+                extra_edge_embeddings=tuple(
+                    jax.device_put(t, etab)
+                    for t in node.extra_edge_embeddings))
+        return jax.device_put(node, rep)
+
+    return jax.tree.map(place, tree,
+                        is_leaf=lambda n: isinstance(n, MGCNParams))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

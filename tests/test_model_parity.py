@@ -388,7 +388,7 @@ def test_mgcn_multilayer_depth(toy, toy_cfg):
     params, state = m2.init(jax.random.PRNGKey(0))
     assert len(params.extra_convs) == 1
     assert params.extra_convs[0].in_weight.shape == (32, 32)
-    assert params.extra_edge_embeddings[0].shape == (2 * g.e_pad, 32)
+    assert params.extra_edge_embeddings[0].shape == (2, g.e_pad, 32)
 
     src = jnp.asarray([0, 1], jnp.int32)
     rel = jnp.asarray([0, 1], jnp.int32)

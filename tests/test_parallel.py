@@ -121,3 +121,28 @@ def test_shard_map_aggregate_matches_single_device(toy, eight_devices):
         aggregate_half(xx, rel, et, g.inb, ds.num_entity) ** 2))(x)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_edge_table_shards_along_graph_axis(toy, toy_cfg, eight_devices):
+    """shard_params partitions the per-edge tables (and their Adam moments)
+    row-aligned with the edge partition; everything else is replicated."""
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(
+        toy, toy_cfg.replace(num_layers=2))
+    mesh = make_mesh(data=2, graph=4)
+    ps = shard_params(params, mesh)
+    os_ = shard_params(opt_state, mesh)
+
+    def table_shard_shapes(tab):
+        return {sh.data.shape for sh in tab.addressable_shards}
+
+    want = {(2, g.e_pad // 4, cfg.gcn_in_dim)}
+    assert table_shard_shapes(ps.edge_embeddings) == want
+    assert table_shard_shapes(ps.extra_edge_embeddings[0]) == {
+        (2, g.e_pad // 4, cfg.gcn_out_dim)}
+    # entity table replicated (full shape on every device)
+    assert {sh.data.shape for sh in ps.entity_embedding.addressable_shards} \
+        == {params.entity_embedding.shape}
+    # Adam moments mirror the params pytree -> table moments shard identically
+    mus = [l for l in jax.tree.leaves(os_)
+           if getattr(l, "shape", None) == params.edge_embeddings.shape]
+    assert mus and all(table_shard_shapes(m) == want for m in mus)
