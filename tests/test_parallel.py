@@ -146,3 +146,78 @@ def test_edge_table_shards_along_graph_axis(toy, toy_cfg, eight_devices):
     mus = [l for l in jax.tree.leaves(os_)
            if getattr(l, "shape", None) == params.edge_embeddings.shape]
     assert mus and all(table_shard_shapes(m) == want for m in mus)
+
+
+def test_entity_sharded_aggregate_matches_single_device(toy, eight_devices):
+    """all_gather + psum_scatter entity-sharded path == plain segment-sum."""
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+    from kgc_gcn_tpu.parallel.edge_parallel import make_entity_sharded_aggregate
+    from kgc_gcn_tpu.parallel.mesh import shard_graph
+
+    ds, g, banks = toy
+    rng = np.random.default_rng(11)
+    d = 8
+    x = rng.normal(size=(ds.num_entity, d)).astype(np.float32)
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+
+    expect = aggregate_half(jnp.asarray(x), rel, et, g.inb, ds.num_entity)
+
+    mesh = make_mesh(data=1, graph=8)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        agg = make_entity_sharded_aggregate(mesh, ds.num_entity)
+        xp = np.zeros((agg.n_pad, d), np.float32)
+        xp[: ds.num_entity] = x
+        row = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("graph"))
+        xs = jax.device_put(xp, row)
+        ets = jax.device_put(et, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("graph")))
+        out = agg(xs, rel, ets, gs.inb)
+        # per-device output rows: 1/8 of the padded entity rows each
+        assert {s.data.shape for s in out.addressable_shards} \
+            == {(agg.n_pad // 8, d)}
+
+    np.testing.assert_allclose(np.asarray(out)[: ds.num_entity],
+                               np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_aggregate_matches_single_device(toy, eight_devices):
+    """ppermute-ring entity exchange == plain segment-sum (both halves)."""
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+    from kgc_gcn_tpu.parallel.edge_parallel import (
+        build_ring_blocks, make_ring_aggregate)
+    from kgc_gcn_tpu.parallel.mesh import shard_graph
+
+    ds, g, banks = toy
+    rng = np.random.default_rng(13)
+    d = 8
+    mesh = make_mesh(data=1, graph=8)
+    agg = make_ring_aggregate(mesh, ds.num_entity)
+
+    x = rng.normal(size=(ds.num_entity, d)).astype(np.float32)
+    xp = np.zeros((agg.n_pad, d), np.float32)
+    xp[: ds.num_entity] = x
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+
+    with mesh:
+        gs = shard_graph(g, mesh)
+        row = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("graph"))
+        xs = jax.device_put(xp, row)
+        for half_name in ("inb", "outb"):
+            half, half_s = getattr(g, half_name), getattr(gs, half_name)
+            et = jnp.asarray(rng.normal(
+                size=(g.e_pad, d)).astype(np.float32))
+            blocks, mask = build_ring_blocks(half, 8, agg.n_pad)
+            bs = jax.device_put(blocks, row)
+            ms = jax.device_put(mask, row)
+            out = agg(xs, rel, jax.device_put(et, row), half_s, bs, ms)
+            expect = aggregate_half(jnp.asarray(x), rel, et, half,
+                                    ds.num_entity)
+            np.testing.assert_allclose(
+                np.asarray(out)[: ds.num_entity], np.asarray(expect),
+                rtol=1e-5, atol=1e-5, err_msg=half_name)
