@@ -144,10 +144,14 @@ def main(argv=None) -> int:
     best = 0.0
     if cfg.restore_torch is not None:
         from kgc_gcn_tpu.utils.torch_import import load_reference_checkpoint
-        if (cfg.model, cfg.decoder) != ("mgcn", "conve"):
+        if (cfg.model, cfg.decoder, cfg.num_layers) != ("mgcn", "conve", 1):
             raise ValueError("--restore_torch imports the reference "
-                             "architecture only (model=mgcn decoder=conve)")
+                             "architecture only (model=mgcn decoder=conve "
+                             "num_layers=1)")
         params, state, best = load_reference_checkpoint(cfg.restore_torch, graph)
+        # the imported pytree may differ structurally from model.init's (e.g.
+        # bias leaves) — rebuild optimizer state for it
+        opt_state = tx.init(params)
         logging.info("Imported reference checkpoint %s (measure: %s)",
                      cfg.restore_torch, best)
     if cfg.restore_dir is not None:

@@ -121,8 +121,11 @@ class Graph:
         return 2 * self.n_edge + self.n_ent
 
 
-EDGE_PAD = 256   # default edge-count padding; a multiple of the Pallas TILE_E
-                 # so kernel inputs need no runtime re-padding
+from kgc_gcn_tpu.tiling import TILE_E as _TILE_E
+
+EDGE_PAD = max(256, _TILE_E)   # default edge-count padding; a multiple of the
+                               # Pallas TILE_E so kernel inputs need no runtime
+                               # re-padding of the (E, 128) message arrays
 
 
 def padded_edge_count(n_edge: int, pad_to: int = EDGE_PAD) -> int:

@@ -178,7 +178,7 @@ class MGCN:
         *,
         train: bool = False,
         rngs: Optional[Dict[str, jax.Array]] = None,
-    ) -> Tuple[jax.Array, jax.Array, BNState]:
+    ) -> Tuple[jax.Array, jax.Array, Tuple[BNState, Tuple[BNState, ...]]]:
         """Full-graph encoder → (all_ent (N, d_out), all_rel (2R, d_out),
         enc_aux = (layer-1 BNState, tuple of extra-layer BNStates))."""
         cfg = self.cfg
@@ -219,17 +219,6 @@ class MGCN:
             in_res = mm(in_agg, jnp.pad(c.in_weight, wpad), cfg.compute_dtype)
             out_res = mm(out_agg, jnp.pad(c.out_weight, wpad),
                          cfg.compute_dtype)
-        elif cfg.use_pallas:
-            from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
-            interp = jax.default_backend() != "tpu"
-            in_agg = aggregate_half_pallas(
-                x, rel_all, et_in, graph.inb, self.n_ent, interp,
-                msg_dtype=cfg.compute_dtype)
-            out_agg = aggregate_half_pallas(
-                x, rel_all, et_out, graph.outb, self.n_ent, interp,
-                msg_dtype=cfg.compute_dtype)
-            in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
-            out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.agg_schedule == "reference":
             from kgc_gcn_tpu.ops.scatter import aggregate_half_reference_schedule
             in_res = aggregate_half_reference_schedule(
@@ -237,8 +226,9 @@ class MGCN:
             out_res = aggregate_half_reference_schedule(
                 x, rel_all, et_out, graph.outb, c.out_weight, self.n_ent)
         else:
-            in_agg = aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent)
-            out_agg = aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent)
+            # pallas or plain XLA per-half dispatch (shared with depth layers)
+            in_agg, out_agg = self._agg_halves(
+                x, rel_all, params.edge_embeddings, graph)
             in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         loop_res = mm(loop_messages(x, c.loop_rel, c.loop_edge), c.loop_weight,
@@ -345,6 +335,18 @@ class MGCN:
             all_ent[src], all_rel[rel], all_ent[cand], cand,
             train=train, rngs=rngs)
 
+    def make_rngs(self, rng: jax.Array) -> Dict[str, jax.Array]:
+        """Named dropout/sampling keys for one training step.
+
+        The single source of the key names — every trainer must use this (a
+        hand-rolled name list that misses one silently DISABLES that dropout
+        site, since ``dropout(key=None)`` is the identity)."""
+        names = ["conv_in", "conv_out", "gcn", "feat", "hidden",
+                 "sample_in", "sample_out"]
+        for i in range(self.n_extra):
+            names += [f"layer{i}", f"conv_in{i}", f"conv_out{i}"]
+        return dict(zip(names, jax.random.split(rng, len(names))))
+
     def rebuild_state(self, state: MGCNState, enc_aux, dec_state) -> MGCNState:
         """Reassemble model state from encode's aux (bn stats) + decoder state."""
         if enc_aux is None:
@@ -367,13 +369,7 @@ class MGCN:
         rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, MGCNState]:
         """Full forward: (B,) src/rel query → (B, N) logits over all entities."""
-        rngs = {}
-        if rng is not None:
-            names = ["conv_in", "conv_out", "gcn", "feat", "hidden",
-                     "sample_in", "sample_out"]
-            for i in range(self.n_extra):
-                names += [f"layer{i}", f"conv_in{i}", f"conv_out{i}"]
-            rngs = dict(zip(names, jax.random.split(rng, len(names))))
+        rngs = self.make_rngs(rng) if rng is not None else {}
         all_ent, all_rel, enc_aux = self.encode(
             params, state, graph, train=train, rngs=rngs)
         logits, dec_state = self.decode(

@@ -216,12 +216,15 @@ class RGCN:
             all_ent[src], all_rel[rel], all_ent[cand], cand,
             train=train, rngs=rngs)
 
+    def make_rngs(self, rng):
+        """Named dropout keys for one step — the single source of the names
+        (a missed name silently disables that dropout site)."""
+        names = tuple(f"layer{i}" for i in range(max(1, self.cfg.num_layers))
+                      ) + ("feat", "hidden")
+        return dict(zip(names, jax.random.split(rng, len(names))))
+
     def apply(self, params, state, graph, src, rel, *, train=False, rng=None):
-        rngs = {}
-        if rng is not None:
-            names = tuple(f"layer{i}" for i in range(len(params.layers))) + (
-                "feat", "hidden")
-            rngs = dict(zip(names, jax.random.split(rng, len(names))))
+        rngs = self.make_rngs(rng) if rng is not None else {}
         all_ent, all_rel, _ = self.encode(
             params, state, graph, train=train, rngs=rngs)
         logits, dec_state = self.decode(

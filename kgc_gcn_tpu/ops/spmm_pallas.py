@@ -41,12 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kgc_gcn_tpu.data.graph import GraphHalf
 
-import os
-
-TILE_N = int(os.environ.get("KGC_TILE_N", 256))   # destination rows per program
-TILE_E = int(os.environ.get("KGC_TILE_E", 512))   # edges per DMA chunk
-#   defaults chosen by sweep on TPU v5 lite (scripts/tile_sweep.py; see
-#   BENCH_NOTES.md): 256/512 beat 256/256 by ~4% — fewer, bigger DMAs
+from kgc_gcn_tpu.tiling import TILE_E, TILE_N
 ONEHOT_LIMIT = 64 * 1024 * 1024   # max one-hot element count (~128 MB bf16)
 #   above this, relation one-hot matmuls fall back to rel-sorted kernel /
 #   row-gather paths (FB15k-scale vocabularies)

@@ -87,6 +87,8 @@ def shard_params(tree, mesh: Mesh):
     moments mirror the params pytree, so Adam state for the table shards the
     same way for free.
     """
+    import dataclasses
+
     from kgc_gcn_tpu.models.mgcn import MGCNParams
 
     rep = NamedSharding(mesh, P())
@@ -94,14 +96,13 @@ def shard_params(tree, mesh: Mesh):
 
     def place(node):
         if isinstance(node, MGCNParams):
-            node = jax.device_put(node, rep)
-            import dataclasses
-            return dataclasses.replace(
-                node,
-                edge_embeddings=jax.device_put(node.edge_embeddings, etab),
-                extra_edge_embeddings=tuple(
-                    jax.device_put(t, etab)
-                    for t in node.extra_edge_embeddings))
+            # one device_put with a sharding pytree — a replicate-then-reshard
+            # two-step would transfer the (large) tables to every device first
+            sh = jax.tree.map(lambda _: rep, node)
+            sh = dataclasses.replace(
+                sh, edge_embeddings=etab,
+                extra_edge_embeddings=(etab,) * len(node.extra_edge_embeddings))
+            return jax.device_put(node, sh)
         return jax.device_put(node, rep)
 
     return jax.tree.map(place, tree,

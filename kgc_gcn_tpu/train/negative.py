@@ -58,9 +58,7 @@ class NegativeSamplingTrainer(Trainer):
             r_neg, (tri.shape[0], cfg.num_negatives), 0, self.n_ent)
 
         def loss_fn(p):
-            names = ("conv_in", "conv_out", "gcn", "feat", "hidden",
-                     "layer0", "layer1", "layer2", "layer3")
-            rngs = dict(zip(names, jax.random.split(r_model, len(names))))
+            rngs = self.model.make_rngs(r_model)
             all_ent, all_rel, aux = self.model.encode(
                 p, state, graph, train=True, rngs=rngs)
             cand = jnp.concatenate([tri[:, 2:3], neg], axis=1)   # (B, 1+K)

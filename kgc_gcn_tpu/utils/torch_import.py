@@ -96,7 +96,7 @@ def params_from_reference_state_dict(
         entity_embedding=_arr(sd, "entity_embedding"),
         relation_embedding=_arr(sd, "relation_embedding"),
         edge_embeddings=jnp.asarray(edge_table_from_reference_order(
-            np.asarray(sd["edge_embeddings"], dtype=np.float32), graph)),
+            np.asarray(_arr(sd, "edge_embeddings")), graph)),
         conv=conv,
         decoder=decoder,
     )

@@ -28,9 +28,13 @@ def main():
     results = []
     for tn, te in CONFIGS:
         env = dict(os.environ, KGC_TILE_N=str(tn), KGC_TILE_E=str(te))
-        out = subprocess.run(
-            [sys.executable, "bench.py", "pallas"], cwd=root, env=env,
-            capture_output=True, text=True, timeout=900)
+        try:
+            out = subprocess.run(
+                [sys.executable, "bench.py", "pallas"], cwd=root, env=env,
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            print(f"TILE_N={tn} TILE_E={te}: TIMEOUT (900s)", flush=True)
+            continue
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:
             print(f"TILE_N={tn} TILE_E={te}: FAILED\n{out.stderr[-2000:]}")
