@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["one_vs_all", "negative_sampling"])
     p.add_argument("--num_negatives", default=64, type=int)
     p.add_argument("--edge_sample_size", default=0, type=int)
+    p.add_argument("--loss_impl", default="auto",
+                   choices=["auto", "dense", "sparse", "fused"],
+                   help="one-vs-all BCE implementation (ops/fused_loss.py)")
+    p.add_argument("--moment_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage dtype (train/optim.py)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
@@ -100,8 +106,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks train_mode num_negatives edge_sample_size "
-        "compute_dtype use_pallas spmm_mode eval_batch_size data_axis graph_axis "
-        "data_dir experiments_dir"
+        "compute_dtype use_pallas spmm_mode loss_impl moment_dtype "
+        "eval_batch_size data_axis graph_axis data_dir experiments_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not

@@ -68,6 +68,10 @@ class Config:
 
     # ---- TPU execution ----
     compute_dtype: str = "float32"   # float32 | bfloat16 (matmul inputs)
+    moment_dtype: str = "float32"    # float32 | bfloat16 — Adam moment storage
+                                     # (bf16 cuts the HBM-bound optimizer pass
+                                     # from 28 to 20 B/param/step; update math
+                                     # stays f32; affects numerics slightly)
     conv_impl: str = "im2col"        # im2col | lax — ConvE convolution lowering
                                      # (C_in=1 NCHW lax.conv has a pathological
                                      # TPU layout: its backward alone was the
@@ -84,6 +88,15 @@ class Config:
                                      # fewer, bigger ops; the layout meant for
                                      # edge-partitioned multi-chip execution.
     agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
+    loss_impl: str = "auto"          # auto | dense | sparse | fused —
+                                     # one-vs-all BCE implementation.
+                                     # dense: build the (B, N) label matrix on
+                                     # device (reference semantics verbatim).
+                                     # sparse: same loss via the affine label
+                                     # split — no label matrix (ops/fused_loss).
+                                     # fused: sparse + Pallas classifier; the
+                                     # (B, N) score matrix never leaves VMEM.
+                                     # auto: fused when use_pallas else sparse.
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding

@@ -244,9 +244,32 @@ def distmult_score_candidates(
     return logits + params.ent_bias[cand_idx], state
 
 
+def distmult_query(
+    params: DistMultParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    return src_emb * rel_emb, state
+
+
 DECODERS = {
     "conve": (conve_init, conve_apply),
     "distmult": (distmult_init, distmult_apply),
+}
+
+# decoder trunks producing the query vector h such that
+# logits = h @ all_ent.T + ent_bias — lets the trainer fuse the scoring
+# matmul with the BCE loss (ops/fused_loss.py) instead of materializing the
+# (B, N) logits
+QUERY_TRUNKS = {
+    "conve": conve_query,
+    "distmult": distmult_query,
 }
 
 CANDIDATE_SCORERS = {

@@ -314,6 +314,28 @@ class MGCN:
             params.decoder, state.decoder, self.cfg, src_emb, rel_emb, all_ent,
             train=train, rngs=rngs)
 
+    def query_and_bias(
+        self,
+        params: MGCNParams,
+        state: MGCNState,
+        all_ent: jax.Array,
+        all_rel: jax.Array,
+        src: jax.Array,
+        rel: jax.Array,
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[jax.Array, jax.Array, Any]:
+        """Decoder trunk only: (h (B, d_out), ent_bias (N,), dec_state) with
+        logits == h @ all_ent.T + ent_bias — for the fused scoring+BCE loss
+        (ops/fused_loss.py), which never materializes the (B, N) logits."""
+        from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
+        trunk = QUERY_TRUNKS[self.cfg.decoder]
+        h, dec_state = trunk(
+            params.decoder, state.decoder, self.cfg, all_ent[src],
+            all_rel[rel], train=train, rngs=rngs)
+        return h, params.decoder.ent_bias, dec_state
+
     def score_candidates(
         self,
         params: MGCNParams,

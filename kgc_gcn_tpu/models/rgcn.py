@@ -203,6 +203,16 @@ class RGCN:
             params.decoder, state.decoder, self.cfg,
             all_ent[src], all_rel[rel], all_ent, train=train, rngs=rngs)
 
+    def query_and_bias(self, params, state, all_ent, all_rel, src, rel, *,
+                       train=False, rngs=None):
+        """Decoder trunk for the fused scoring+BCE loss (see models/mgcn.py)."""
+        from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
+        trunk = QUERY_TRUNKS[self.cfg.decoder]
+        h, dec_state = trunk(
+            params.decoder, state.decoder, self.cfg, all_ent[src],
+            all_rel[rel], train=train, rngs=rngs)
+        return h, params.decoder.ent_bias, dec_state
+
     def rebuild_state(self, state, enc_aux, dec_state):
         del enc_aux
         return RGCNState(decoder=dec_state)

@@ -28,6 +28,7 @@ import numpy as np
 from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.data.batching import QueryBank, build_labels, epoch_batches
 from kgc_gcn_tpu.data.graph import Graph
+from kgc_gcn_tpu.ops.fused_loss import fused_score_bce, sparse_bce_with_logits
 from kgc_gcn_tpu.ops.losses import bce_with_logits
 from kgc_gcn_tpu.ops.ranking import combine_head_tail, filtered_ranks, rank_metrics
 from kgc_gcn_tpu.train.checkpoint import save_checkpoint
@@ -52,14 +53,49 @@ class Trainer:
         self._train_step_jit = jax.jit(
             self._train_step, donate_argnums=(0, 1, 2))
         self._eval_pass_jit = jax.jit(self._eval_pass)
+        self.loss_impl = self._resolve_loss_impl(cfg, model)
+
+    @staticmethod
+    def _resolve_loss_impl(cfg: Config, model) -> str:
+        impl = cfg.loss_impl
+        if impl == "auto":
+            # sparse measured == dense in steps/s (ab_loss.py 2026-08-18:
+            # 104.9 vs 105.6, within session noise) but never materializes the
+            # (B, N) label matrix; the Pallas classifier ("fused") measured
+            # slightly SLOWER at B=128 (f32 in-kernel matmuls cost more than
+            # the ~26us/pass (B, N) HBM traffic they avoid) — it is opt-in for
+            # large-batch / large-vocab regimes where (B, N) stops fitting
+            impl = "sparse"
+        if impl in ("sparse", "fused") and not hasattr(model, "query_and_bias"):
+            impl = "dense"   # decoder without an h @ all_ent.T + bias form
+        return impl
 
     # ------------------------------------------------------------- train step
 
     def _loss_and_update(self, params, state, opt_state, graph, lr, q,
                          label_idx, mask, rng):
-        lbl = build_labels(label_idx, self.n_ent, self.cfg.lbl_smooth)
-
         def loss_fn(p):
+            if self.loss_impl in ("sparse", "fused"):
+                rngs = self.model.make_rngs(rng)
+                all_ent, all_rel, enc_aux = self.model.encode(
+                    p, state, graph, train=True, rngs=rngs)
+                h, ent_bias, dec_state = self.model.query_and_bias(
+                    p, state, all_ent, all_rel, q[:, 0], q[:, 1],
+                    train=True, rngs=rngs)
+                new_state = self.model.rebuild_state(state, enc_aux, dec_state)
+                if self.loss_impl == "fused":
+                    loss = fused_score_bce(
+                        h, all_ent, ent_bias, label_idx,
+                        self.cfg.lbl_smooth, mask,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    from kgc_gcn_tpu.models.common import mm
+                    logits = mm(h, all_ent.T, self.cfg.compute_dtype) \
+                        + ent_bias[None, :]
+                    loss = sparse_bce_with_logits(
+                        logits, label_idx, self.cfg.lbl_smooth, mask)
+                return loss, new_state
+            lbl = build_labels(label_idx, self.n_ent, self.cfg.lbl_smooth)
             logits, new_state = self.model.apply(
                 p, state, graph, q[:, 0], q[:, 1], train=True, rng=rng)
             return bce_with_logits(logits, lbl, mask), new_state

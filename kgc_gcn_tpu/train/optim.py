@@ -12,9 +12,49 @@ the step compiles once), computed by ``epoch_lr``.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from kgc_gcn_tpu.config import Config
+
+
+def _scale_by_adam_lowp(b1: float, b2: float, eps: float,
+                        dtype) -> optax.GradientTransformation:
+    """Adam with BOTH moments stored in a low-precision dtype.
+
+    The optimizer update is HBM-roofline-bound (read g/p/mu/nu + write
+    p/mu/nu ≈ 28 B/param/step in f32); storing the moments in bf16 cuts that
+    to 20 B/param.  Moment math runs in f32 (decay/accumulate/bias-correct),
+    only the carried state is rounded — the standard low-precision-optimizer
+    recipe.  State layout matches ``optax.scale_by_adam``
+    (``ScaleByAdamState(count, mu, nu)``) so checkpoints stay compatible.
+    """
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        f32 = lambda t: t.astype(jnp.float32)
+        mu32 = jax.tree.map(lambda m, g: b1 * f32(m) + (1 - b1) * g,
+                            state.mu, grads)
+        nu32 = jax.tree.map(lambda v, g: b2 * f32(v) + (1 - b2) * g * g,
+                            state.nu, grads)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32)
+        to_lp = lambda t: t.astype(dtype)
+        return updates, optax.ScaleByAdamState(
+            count=count, mu=jax.tree.map(to_lp, mu32),
+            nu=jax.tree.map(to_lp, nu32))
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -24,7 +64,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         parts.append(optax.clip_by_global_norm(cfg.clip_grad))
     if cfg.weight_decay and cfg.weight_decay > 0:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
-    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    moment_dtype = getattr(cfg, "moment_dtype", "float32")
+    if moment_dtype != "float32":
+        parts.append(_scale_by_adam_lowp(
+            0.9, 0.999, 1e-8, jnp.dtype(moment_dtype)))
+    else:
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     return optax.chain(*parts)
 
 

@@ -152,3 +152,32 @@ def test_checkpoint_orbax_roundtrip(setup, tmp_path):
     save_checkpoint(str(tmp_path), tree, 0.6, backend="orbax")
     _, measure = load_checkpoint(str(tmp_path), tree)
     assert abs(measure - 0.6) < 1e-6
+
+
+def test_bf16_moment_adam_tracks_f32():
+    """bf16-moment Adam follows f32 Adam closely over a short run and keeps
+    the optax state layout (train/optim.py:_scale_by_adam_lowp)."""
+    import optax
+    from kgc_gcn_tpu.config import Config
+
+    cfg32 = Config(clip_grad=1.0, weight_decay=0.0)
+    cfg16 = cfg32.replace(moment_dtype="bfloat16")
+    tx32, tx16 = make_optimizer(cfg32), make_optimizer(cfg16)
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 32).reshape(4, 8)}
+    s32, s16 = tx32.init(params), tx16.init(params)
+    adam16 = s16[-1]
+    assert isinstance(adam16, optax.ScaleByAdamState)
+    assert adam16.mu["w"].dtype == jnp.bfloat16
+    assert adam16.nu["w"].dtype == jnp.bfloat16
+
+    p32 = p16 = params
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        g = {"w": jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)}
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = optax.apply_updates(p32, jax.tree.map(lambda u: -0.01 * u, u32))
+        p16 = optax.apply_updates(p16, jax.tree.map(lambda u: -0.01 * u, u16))
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=0.02, atol=2e-3)
