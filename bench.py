@@ -44,7 +44,7 @@ def main(mode: str = "pallas"):
     from kgc_gcn_tpu.data.batching import make_query_bank
     from kgc_gcn_tpu.data.graph import build_graph
     from kgc_gcn_tpu.models import build_model
-    from kgc_gcn_tpu.train.loop import Trainer
+    from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
     if mode == "fb15k":
@@ -88,7 +88,7 @@ def main(mode: str = "pallas"):
         idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)
         mask = np.ones((steps, batch), np.float32)
         p, s, o, loss = trainer._train_epoch_jit(
-            p, s, o, graph, jax.random.PRNGKey(seed), lr,
+            p, s, o, graph, root_key(cfg, seed), lr,
             jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
         return p, s, o, float(loss)   # host pull = true device sync
 

@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moment_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="Adam moment storage dtype (train/optim.py)")
+    p.add_argument("--prng_impl", default="rbg",
+                   choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="dropout PRNG (rbg = TPU hardware RNG instruction, "
+                        "+17%% measured; threefry = jax default stream)")
+    p.add_argument("--rel_compose", default="gather",
+                   choices=["gather", "onehot"],
+                   help="relation-row materialization in the pallas path")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
@@ -106,8 +113,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks train_mode num_negatives edge_sample_size "
-        "compute_dtype use_pallas spmm_mode loss_impl moment_dtype "
-        "eval_batch_size data_axis graph_axis data_dir experiments_dir"
+        "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
+        "rel_compose eval_batch_size data_axis graph_axis data_dir "
+        "experiments_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not

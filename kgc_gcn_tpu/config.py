@@ -88,6 +88,15 @@ class Config:
                                      # fewer, bigger ops; the layout meant for
                                      # edge-partitioned multi-chip execution.
     agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
+    rel_compose: str = "gather"      # gather | onehot — how per-edge relation
+                                     # rows are materialized in the pallas
+                                     # aggregation path.  A/B'd 2026-08-18:
+                                     # the hi/lo bf16 one-hot MXU matmul
+                                     # measured 3% SLOWER end-to-end than the
+                                     # row gather (105.9 vs 102.8 steps/s) —
+                                     # XLA fuses the small-table gather better
+                                     # than the trace suggested; kept as an
+                                     # option for layout-hostile shapes
     loss_impl: str = "auto"          # auto | dense | sparse | fused —
                                      # one-vs-all BCE implementation.
                                      # dense: build the (B, N) label matrix on
@@ -97,6 +106,16 @@ class Config:
                                      # fused: sparse + Pallas classifier; the
                                      # (B, N) score matrix never leaves VMEM.
                                      # auto: fused when use_pallas else sparse.
+    prng_impl: str = "rbg"           # rbg | threefry | unsafe_rbg — dropout
+                                     # key implementation.  threefry is pure
+                                     # VPU math recomputed inside every fusion
+                                     # that consumes a mask — traced as the
+                                     # single biggest matmul-fusion cost, and
+                                     # switching to the TPU hardware
+                                     # RngBitGenerator measured +17% training
+                                     # throughput (ab_variants.py 2026-08-18:
+                                     # 123.7 vs 106.1 steps/s).  Same Bernoulli
+                                     # distribution, different stream.
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding

@@ -35,6 +35,17 @@ from kgc_gcn_tpu.train.checkpoint import save_checkpoint
 from kgc_gcn_tpu.train.optim import apply_updates_with_lr, epoch_lr, make_optimizer
 
 
+def root_key(cfg: Config, seed: int) -> jax.Array:
+    """Training-step PRNG root key honoring ``cfg.prng_impl``.
+
+    threefry (jax default) is recomputed as pure VPU math inside every fusion
+    consuming a dropout mask — traced as the single largest matmul-fusion
+    cost at WN18RR scale; rbg lowers to the TPU hardware RngBitGenerator."""
+    if cfg.prng_impl == "threefry":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=cfg.prng_impl)
+
+
 class Trainer:
     """Owns the jitted train/eval programs for one (model, graph) pair."""
 
@@ -212,7 +223,7 @@ def train_and_evaluate(
     best_measure = saved_best
     patience_counter = 0
     host_rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
+    key = root_key(cfg, seed)
 
     logging.info("Starting training for %d epoch(s)", cfg.max_epoch)
     for epoch in range(1, cfg.max_epoch + 1):

@@ -1,0 +1,84 @@
+"""A/B config variants of the pallas training step on the real TPU,
+back-to-back in one process (BENCH_NOTES.md measurement rules).
+
+Usage: python scripts/ab_variants.py name=key:val,key:val [name2=...]
+e.g.:  python scripts/ab_variants.py control=rel_compose:gather \
+           onehot= onehot_bf16m=moment_dtype:bfloat16
+(empty spec = current defaults; all variants share use_pallas=True +
+loss_impl=sparse unless overridden)
+"""
+
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(overrides):
+    import jax
+    import jax.numpy as jnp
+    from kgc_gcn_tpu.config import dataset_preset
+    from kgc_gcn_tpu.data.batching import make_query_bank
+    from kgc_gcn_tpu.data.graph import build_graph
+    from kgc_gcn_tpu.models import build_model
+    from kgc_gcn_tpu.train.loop import Trainer
+    from kgc_gcn_tpu.train.optim import make_optimizer
+
+    n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
+    rng = np.random.default_rng(0)
+    tri = np.stack([
+        rng.integers(n_ent, size=n_edge),
+        rng.integers(n_rel, size=n_edge),
+        rng.integers(n_ent, size=n_edge),
+    ], axis=1).astype(np.int64)
+    graph = build_graph(tri, n_ent, n_rel)
+    cfg = dataset_preset("WN18RR", batch_size=batch, use_pallas=True,
+                         loss_impl="sparse", **overrides)
+    model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    queries = tri[:, :2].astype(np.int32)
+    bank = make_query_bank(queries, [[int(o)] for o in tri[:, 2]], n_ent)
+    trainer = Trainer(cfg, model, graph, {"train": bank})
+    return (trainer, graph, bank, params, state, opt_state,
+            jnp.float32(cfg.learning_rate), rng, n_edge, batch)
+
+
+def run(name, overrides, steps=50, reps=3):
+    import jax
+    import jax.numpy as jnp
+    from kgc_gcn_tpu.train.loop import root_key
+    (trainer, graph, bank, p, s, o, lr, rng, n_edge, batch) = build(overrides)
+
+    def go(p, s, o, seed):
+        idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)
+        mask = np.ones((steps, batch), np.float32)
+        p, s, o, loss = trainer._train_epoch_jit(
+            p, s, o, graph, root_key(trainer.cfg, seed), lr,
+            jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
+        return p, s, o, float(loss)
+
+    p, s, o, _ = go(p, s, o, 1)
+    times, loss = [], 0.0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        p, s, o, loss = go(p, s, o, 10 + rep)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    print(f"{name:>16s} {overrides}: {steps/dt:6.1f} steps/s "
+          f"({dt:.3f}s median, loss={loss:.5f})", flush=True)
+
+
+if __name__ == "__main__":
+    for spec in sys.argv[1:]:
+        name, _, kvs = spec.partition("=")
+        overrides = {}
+        if kvs:
+            for kv in kvs.split(","):
+                k, _, v = kv.partition(":")
+                overrides[k] = v
+        run(name, overrides)
