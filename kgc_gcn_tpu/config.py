@@ -88,6 +88,15 @@ class Config:
                                      # fewer, bigger ops; the layout meant for
                                      # edge-partitioned multi-chip execution.
     agg_schedule: str = "fused"      # fused | reference (bench-only naive schedule)
+    ew_impl: str = "xla"             # xla | pallas — the SpMM compose
+                                     # elementwise passes.  A/B'd 2026-08-18:
+                                     # the one-pass multi-output Pallas
+                                     # kernels measured 3% SLOWER end-to-end
+                                     # (123.5 vs 119.6 steps/s) — the kernel
+                                     # boundary forces its inputs (gather
+                                     # outputs) to materialize, which XLA
+                                     # avoids by fusing gathers into the
+                                     # compose.  Kept as an option.
     rel_compose: str = "gather"      # gather | onehot — how per-edge relation
                                      # rows are materialized in the pallas
                                      # aggregation path.  A/B'd 2026-08-18:

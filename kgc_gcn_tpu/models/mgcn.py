@@ -286,14 +286,15 @@ class MGCN:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"
             onehot = cfg.rel_compose != "gather"
+            ew = cfg.ew_impl == "pallas"
             return (aggregate_half_pallas(x, rel_all, et_in, graph.inb,
                                           self.n_ent, interp,
                                           msg_dtype=cfg.compute_dtype,
-                                          rel_onehot=onehot),
+                                          rel_onehot=onehot, ew_pallas=ew),
                     aggregate_half_pallas(x, rel_all, et_out, graph.outb,
                                           self.n_ent, interp,
                                           msg_dtype=cfg.compute_dtype,
-                                          rel_onehot=onehot))
+                                          rel_onehot=onehot, ew_pallas=ew))
         return (aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent),
                 aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent))
 

@@ -460,26 +460,41 @@ def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                     indptr, sperm, s_indptr, s_src, rdata,
-                    n_ent, interpret, msg_dtype="float32", rel_onehot=True):
+                    n_ent, interpret, msg_dtype="float32", rel_onehot=True,
+                    ew_pallas=True):
+    from kgc_gcn_tpu.ops.elementwise_pallas import _pick_tile, compose_msg_pad
     rg = rel_rows_onehot(rel_all, rel) if rel_onehot else rel_all[rel]
-    msg = (x[src] * rg * etab) * norm[:, None]
-    if msg_dtype != "float32":
-        # bf16 message mode (compute_dtype=bfloat16): halves the kernel's HBM
-        # traffic and single-passes the MXU (no hi/lo split); accumulation
-        # stays f32 inside the kernel — same precision model as bf16 matmuls
-        msg = msg.astype(msg_dtype)
+    if ew_pallas and _pick_tile(src.shape[0]) and not interpret:
+        # single-pass compose emitting the lane-padded message directly (XLA
+        # lowers compose and the 100->128 pad as two passes: 0.39 + 0.27 ms/
+        # step traced at WN18RR scale)
+        d = x.shape[1]
+        xgn = x[src] * norm[:, None]
+        msg = compose_msg_pad(xgn, rg, etab, -(-d // 128) * 128, msg_dtype,
+                              interpret)
+        return segment_sum_pallas(
+            msg, dst, indptr, n_ent, interpret=interpret)[:, :d]
+    else:
+        msg = (x[src] * rg * etab) * norm[:, None]
+        if msg_dtype != "float32":
+            # bf16 message mode (compute_dtype=bfloat16): halves the kernel's
+            # HBM traffic and single-passes the MXU (no hi/lo split);
+            # accumulation stays f32 inside the kernel — same precision model
+            # as bf16 matmuls
+            msg = msg.astype(msg_dtype)
     return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
 
 
 def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
              indptr, sperm, s_indptr, s_src, rdata,
-             n_ent, interpret, msg_dtype="float32", rel_onehot=True):
+             n_ent, interpret, msg_dtype="float32", rel_onehot=True,
+             ew_pallas=True):
     out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                           indptr, sperm, s_indptr, s_src, rdata,
-                          n_ent, interpret, msg_dtype, rel_onehot)
+                          n_ent, interpret, msg_dtype, rel_onehot, ew_pallas)
     return out, (x, rel_all, etab, src, dst, rel, norm,
                  sperm, s_indptr, s_src, rdata)
 
@@ -520,21 +535,31 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
                                   preferred_element_type=jnp.float32))
 
 
-def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, res, g):
+def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, res, g):
+    from kgc_gcn_tpu.ops.elementwise_pallas import _pick_tile, bwd_products
     (x, rel_all, etab, src, dst, rel, norm,
      sperm, s_indptr, s_src, rdata) = res
     xg = x[src]
     rg = rel_rows_onehot(rel_all, rel) if rel_onehot else rel_all[rel]
     gd = g[dst] * norm[:, None]                  # (E, D) cotangent per edge
 
+    # the three cotangent products share operands; XLA lowers them as three
+    # fusions re-reading gd/xg/rg/etab (1.03 ms/step traced) — the Pallas
+    # kernel emits all three in one HBM pass (0.64 ms roofline)
+    if ew_pallas and _pick_tile(src.shape[0]) and not interpret:
+        contrib, d_rel_in, d_etab = bwd_products(
+            gd, xg, rg, etab, msg_dtype, interpret)
+    else:
+        contrib = gd * rg * etab
+        d_rel_in = gd * xg * etab
+        d_etab = gd * xg * rg
+        if msg_dtype != "float32":
+            contrib = contrib.astype(msg_dtype)
+            d_rel_in = d_rel_in.astype(msg_dtype)
+
     # d_x: segment-sum over src — the precomputed src-sorted permutation
     # (s_src = src[sperm], a static array: recomputing that 1-D int gather
     # on device costs ~0.6 ms per half) lets the kernel apply again
-    contrib = gd * rg * etab
-    d_rel_in = gd * xg * etab
-    if msg_dtype != "float32":
-        contrib = contrib.astype(msg_dtype)
-        d_rel_in = d_rel_in.astype(msg_dtype)
     dx = segment_sum_pallas(
         contrib[sperm], s_src, s_indptr, x.shape[0], interpret=interpret)
 
@@ -545,7 +570,6 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, res, g):
     # d_etab: the table slice is stored in THIS edge order (positional), so
     # its gradient is just the dense per-edge product — no permutation, no
     # scatter (padding rows have norm 0, hence zero gradient)
-    d_etab = gd * xg * rg
 
     return (dx, d_rel, d_etab) + (None,) * 9
 
@@ -556,7 +580,8 @@ _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
 def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
                           interpret: bool = False,
                           msg_dtype: str = "float32",
-                          rel_onehot: bool = True):
+                          rel_onehot: bool = True,
+                          ew_pallas: bool = True):
     """Pallas-backed drop-in for ops.scatter.aggregate_half.
 
     ``etab`` is this half's per-edge embedding slice in the half's dst-sorted
@@ -576,4 +601,4 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
         x, rel_all, etab, half.src, half.dst, half.rel,
         half.norm, half.indptr, half.sperm, half.s_indptr, half.s_src,
         (half.rperm, half.r_indptr, half.r_rel),
-        n_ent, interpret, msg_dtype, rel_onehot)
+        n_ent, interpret, msg_dtype, rel_onehot, ew_pallas)

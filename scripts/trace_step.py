@@ -28,7 +28,7 @@ def main(mode="pallas"):
     from kgc_gcn_tpu.data.batching import make_query_bank
     from kgc_gcn_tpu.data.graph import build_graph
     from kgc_gcn_tpu.models import build_model
-    from kgc_gcn_tpu.train.loop import Trainer
+    from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
     n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
@@ -59,7 +59,7 @@ def main(mode="pallas"):
 
     def run(p, s, o, seed):
         p, s, o, loss = trainer._train_epoch_jit(
-            p, s, o, graph, jax.random.PRNGKey(seed), lr, idx, mask,
+            p, s, o, graph, root_key(cfg, seed), lr, idx, mask,
             bank.queries, bank.label_idx)
         return p, s, o, float(loss)
 
@@ -81,32 +81,30 @@ def main(mode="pallas"):
     with gzip.open(traces[0], "rt") as f:
         data = json.load(f)
 
-    # aggregate complete events by (pid-process-name, event name)
-    procs = {}
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            procs[ev["pid"]] = ev["args"].get("name", str(ev["pid"]))
+    # aggregate device ops by SOURCE LINE (jax metadata), then by op name
+    import collections
     agg = collections.Counter()
     cnt = collections.Counter()
+    sample = {}
     for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
-            pname = procs.get(ev.get("pid"), "?")
-            if "TPU" in pname or "tpu" in pname or "device" in pname.lower():
-                key = ev["name"]
-                agg[key] += ev["dur"]
-                cnt[key] += 1
-    if not agg:
-        # fall back: all complete events
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
-                key = f'{procs.get(ev.get("pid"), "?")}::{ev["name"]}'
-                agg[key] += ev["dur"]
-                cnt[key] += 1
+        if ev.get("ph") != "X" or "dur" not in ev or not ev.get("args"):
+            continue
+        a = ev["args"]
+        if "device_duration_ps" not in a:
+            continue
+        name = ev["name"]
+        if name.startswith(("while", "jit_", "2", "copy-start")):
+            continue   # enclosing-region events double-count their children
+        key = f'{a.get("source", "?")}  [{a.get("tf_op", "?").split("/")[-1]}]'
+        agg[key] += ev["dur"]
+        cnt[key] += 1
+        sample[key] = name
     total = sum(agg.values())
-    print(f"# process names: {sorted(set(procs.values()))}")
-    print(f"# total device-op time: {total/1e3:.2f} ms over {STEPS} steps")
-    for name, us in agg.most_common(40):
-        print(f"{us/1e3:9.3f} ms  x{cnt[name]:<5d} {us/max(total,1)*100:5.1f}%  {name[:110]}")
+    print(f"# total attributed device-op time: {total/1e3:.2f} ms "
+          f"over {STEPS} steps = {total/STEPS/1e3:.3f} ms/step")
+    for k, us in agg.most_common(40):
+        print(f"{us/STEPS/1e3:7.3f} ms/step x{cnt[k]//STEPS:<4d} {k[:120]}  "
+              f"{sample[k][:30]}")
 
 
 if __name__ == "__main__":

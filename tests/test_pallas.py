@@ -190,3 +190,80 @@ def test_aggregate_half_pallas_bf16_messages(toy):
     for a, b, name in zip(g16, g32, ("x", "rel", "edge")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-2, atol=3e-2, err_msg=name)
+
+
+def test_compose_msg_pad_matches_xla():
+    """One-pass compose+pad kernel == XLA compose then pad (elementwise_pallas)."""
+    from kgc_gcn_tpu.ops.elementwise_pallas import compose_msg_pad
+    rng = np.random.default_rng(0)
+    e, d = 256, 20
+    xgn, rg, et = (jnp.asarray(rng.normal(size=(e, d)), jnp.float32)
+                   for _ in range(3))
+    out = compose_msg_pad(xgn, rg, et, 128, "float32", interpret=True)
+    assert out.shape == (e, 128)
+    np.testing.assert_allclose(np.asarray(out[:, :d]),
+                               np.asarray(xgn * rg * et), rtol=1e-6)
+    assert not np.asarray(out[:, d:]).any()
+
+    bf = compose_msg_pad(xgn, rg, et, 128, "bfloat16", interpret=True)
+    assert bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf[:, :d], np.float32),
+        np.asarray((xgn * rg * et).astype(jnp.bfloat16), np.float32))
+
+
+def test_bwd_products_matches_xla():
+    """Three-output backward products kernel == the three XLA fusions."""
+    from kgc_gcn_tpu.ops.elementwise_pallas import bwd_products
+    rng = np.random.default_rng(1)
+    e, d = 512, 100
+    gdn, xg, rg, et = (jnp.asarray(rng.normal(size=(e, d)), jnp.float32)
+                       for _ in range(4))
+    contrib, drel, detab = bwd_products(gdn, xg, rg, et, "float32",
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(contrib), np.asarray(gdn * rg * et),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(drel), np.asarray(gdn * xg * et),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(detab), np.asarray(gdn * xg * rg),
+                               rtol=1e-6)
+
+
+def test_aggregate_half_ew_pallas_matches_xla_interpret():
+    """Full per-half aggregation fwd+grads: ew-pallas kernels == XLA compose.
+
+    interpret mode skips the kernels inside _aggregate_cvjp, so drive the
+    kernels directly by comparing against the plain XLA reference aggregation
+    on a tile-aligned synthetic half.
+    """
+    from kgc_gcn_tpu.data.graph import build_graph
+    from kgc_gcn_tpu.ops.elementwise_pallas import compose_msg_pad, bwd_products
+
+    rng = np.random.default_rng(2)
+    n_ent, n_rel, e = 64, 5, 128
+    tri = np.stack([rng.integers(n_ent, size=e),
+                    rng.integers(n_rel, size=e),
+                    rng.integers(n_ent, size=e)], 1).astype(np.int64)
+    g = build_graph(tri, n_ent, n_rel, pad_to=128)
+    h = g.inb
+    x = jnp.asarray(rng.normal(size=(n_ent, 16)), jnp.float32)
+    rel_all = jnp.asarray(rng.normal(size=(2 * n_rel + 1, 16)), jnp.float32)
+    et = jnp.asarray(rng.normal(size=(g.e_pad, 16)), jnp.float32)
+
+    xgn = x[h.src] * h.norm[:, None]
+    rg = rel_all[h.rel]
+    msg_k = compose_msg_pad(xgn, rg, et, 128, "float32", interpret=True)
+    msg_x = (x[h.src] * rg * et) * h.norm[:, None]
+    np.testing.assert_allclose(np.asarray(msg_k[:, :16]), np.asarray(msg_x),
+                               rtol=1e-5, atol=1e-6)
+
+    gd = jnp.asarray(rng.normal(size=(n_ent, 16)), jnp.float32)[h.dst] \
+        * h.norm[:, None]
+    xg = x[h.src]
+    c_k, dr_k, de_k = bwd_products(gd, xg, rg, et, "float32", interpret=True)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(gd * rg * et),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dr_k), np.asarray(gd * xg * et),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(de_k), np.asarray(gd * xg * rg),
+                               rtol=1e-5, atol=1e-6)
