@@ -19,11 +19,13 @@ early in round 1.  Three reps, median reported.
 schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
 measured throughput (SURVEY.md §6).
 
-Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k]`` —
+Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k|eval]`` —
 default pallas (per-half kernels, f32: the fastest verified full-precision
 path).  ``stacked`` is the one-launch fused-compose layout (multi-chip
 oriented); ``bf16`` casts matmul operands to bfloat16 (f32 accumulation);
-``fb15k`` runs the pallas path at FB15k-237 scale (N=14541, R=237, E=272115).
+``fb15k`` runs the pallas path at FB15k-237 scale (N=14541, R=237, E=272115);
+``eval`` measures filtered-ranking EVALUATION throughput (queries/s: encode
+once + scan decode+rank, the do_test path) instead of training.
 """
 
 import json
@@ -67,7 +69,7 @@ def main(mode: str = "pallas"):
                          batch_size=batch)
     if mode == "reference":
         cfg = cfg.replace(agg_schedule="reference")
-    elif mode in ("pallas", "fb15k"):
+    elif mode in ("pallas", "fb15k", "eval"):
         cfg = cfg.replace(use_pallas=True)
     elif mode == "stacked":
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")
@@ -83,6 +85,39 @@ def main(mode: str = "pallas"):
     bank = make_query_bank(queries, labels, n_ent)
     trainer = Trainer(cfg, model, graph, {"train": bank})
     lr = jnp.float32(cfg.learning_rate)
+
+    if mode == "eval":
+        # filtered-rank evaluation throughput over synthetic eval queries
+        eq = np.concatenate([queries, tri[:, 2:3].astype(np.int32)], axis=1)
+        ebank = make_query_bank(eq, labels, n_ent)
+        from kgc_gcn_tpu.data.batching import epoch_batches
+        idx, mask = epoch_batches(steps * batch, batch,
+                                  np.random.default_rng(0), shuffle=False)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+
+        def erun(seed):
+            sums = trainer._eval_pass_jit(
+                params, state, graph, idx, mask, ebank.queries[: steps * batch],
+                ebank.label_idx[: steps * batch])
+            return float(sums["count"])    # host pull = true device sync
+
+        erun(0)   # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            count = erun(0)
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times)
+        print(json.dumps({
+            "metric": "eval_queries_per_s_per_chip",
+            "value": round(count / dt, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(count / dt / 1.0, 1),   # no reference number
+            "detail": {"mode": mode, "queries": int(count),
+                       "sec_median": round(dt, 4),
+                       "device": str(jax.devices()[0])},
+        }))
+        return
 
     def run(p, s, o, seed):
         idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)

@@ -225,14 +225,23 @@ def train_and_evaluate(
     host_rng = np.random.default_rng(seed)
     key = root_key(cfg, seed)
 
+    from kgc_gcn_tpu.utils.profiling import StepTimer
+    steps_per_epoch = -(-trainer.banks["train"].n_queries // cfg.batch_size)
+    timer = StepTimer(trainer.graph.num_messages,
+                      n_chips=trainer.mesh.size if trainer.mesh else 1)
+
     logging.info("Starting training for %d epoch(s)", cfg.max_epoch)
     for epoch in range(1, cfg.max_epoch + 1):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         params, state, opt_state, loss = trainer.train_epoch(
             params, state, opt_state, epoch, host_rng, sub)
-        logging.info("Epoch %d/%d  loss=%07.5f  (%.2fs)",
-                     epoch, cfg.max_epoch, loss, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0    # train only (train_epoch host-syncs)
+        if epoch > 1:                    # epoch 1 is compile-dominated
+            timer.add(dt, steps_per_epoch)
+        logging.info("Epoch %d/%d  loss=%07.5f  (%.2fs%s)",
+                     epoch, cfg.max_epoch, loss, dt,
+                     f", {timer.report()}" if epoch > 1 else "")
 
         if epoch % cfg.eval_every == 0:
             val = trainer.evaluate(params, state, "valid", mark="Val")

@@ -54,6 +54,11 @@ class StepTimer:
             self.steps += n_steps
         self._t0 = now
 
+    def add(self, seconds: float, n_steps: int) -> None:
+        """Credit an externally-timed span (e.g. one epoch, excluding eval)."""
+        self.seconds += seconds
+        self.steps += n_steps
+
     @property
     def steps_per_s(self) -> float:
         return self.steps / self.seconds if self.seconds else 0.0
