@@ -69,7 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference flag is dead too, data_loader.py:113-114)")
     # TPU-native flags
     p.add_argument("--model", default="mgcn", choices=["mgcn", "rgcn"])
-    p.add_argument("--decoder", default="conve", choices=["conve", "distmult"])
+    p.add_argument("--decoder", default="conve",
+                   choices=["conve", "distmult", "transe", "complex"])
     p.add_argument("--num_layers", default=1, type=int)
     p.add_argument("--num_bases", default=0, type=int)
     p.add_argument("--num_blocks", default=0, type=int)

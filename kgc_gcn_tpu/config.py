@@ -56,7 +56,7 @@ class Config:
 
     # ---- model family selection (framework extension; BASELINE.json configs) ----
     model: str = "mgcn"              # mgcn | rgcn
-    decoder: str = "conve"           # conve | distmult
+    decoder: str = "conve"           # conve | distmult | transe | complex
     num_layers: int = 1              # encoder depth (reference is fixed at 1)
     num_bases: int = 0               # >0: basis-decomposed relation weights (rgcn)
     num_blocks: int = 0              # >0: block-diagonal relation weights (rgcn)

@@ -244,6 +244,145 @@ def distmult_score_candidates(
     return logits + params.ent_bias[cand_idx], state
 
 
+# ---------------------------------------------------------------------- TransE
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TransEParams:
+    ent_bias: jax.Array    # (N,) — kept for API uniformity (init zeros)
+
+
+def transe_init(key: jax.Array, cfg: Config, n_ent: int
+                ) -> Tuple[TransEParams, DistMultState]:
+    del key
+    return TransEParams(ent_bias=jnp.zeros(n_ent)), DistMultState()
+
+
+def transe_apply(
+    params: TransEParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    all_ent: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    """score(s, r, o) = -||e_s + w_r - e_o||^2 + b_o (squared-L2 TransE).
+
+    Expanded to matmul form for the MXU: -||q||^2 + 2 q·e_o - ||e_o||^2 with
+    q = e_s + w_r — one (B, d) x (d, N) matmul plus rank-1 row/column terms
+    instead of a (B, N, d) broadcast difference.
+    """
+    del rngs
+    q = src_emb + rel_emb                                   # (B, d)
+    cross = mm(q, all_ent.T, cfg.compute_dtype)             # (B, N)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)              # (B, 1)
+    o2 = jnp.sum(all_ent * all_ent, axis=1)[None, :]        # (1, N)
+    return 2.0 * cross - q2 - o2 + params.ent_bias[None, :], state
+
+
+def transe_score_candidates(
+    params: TransEParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    cand_emb: jax.Array,
+    cand_idx: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    q = src_emb + rel_emb
+    diff = q[:, None, :] - cand_emb                         # (B, K, d)
+    logits = -jnp.sum(diff * diff, axis=-1)
+    return logits + params.ent_bias[cand_idx], state
+
+
+# --------------------------------------------------------------------- ComplEx
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ComplExParams:
+    ent_bias: jax.Array    # (N,)
+
+
+def complex_init(key: jax.Array, cfg: Config, n_ent: int
+                 ) -> Tuple[ComplExParams, DistMultState]:
+    del key
+    if cfg.gcn_out_dim % 2:
+        raise ValueError("ComplEx needs an even gcn_out_dim (re/im split), "
+                         f"got {cfg.gcn_out_dim}")
+    return ComplExParams(ent_bias=jnp.zeros(n_ent)), DistMultState()
+
+
+def _complex_query_vec(src_emb: jax.Array, rel_emb: jax.Array) -> jax.Array:
+    """h such that score = h @ all_ent.T: ComplEx Re(<s, r, conj(o)>) with the
+    encoder's d_out split into (re | im) halves.
+
+    h_re = s_re*r_re - s_im*r_im, h_im = s_re*r_im + s_im*r_re (complex
+    product s*r); the score is then the real inner product with (o_re | o_im).
+    """
+    d = src_emb.shape[1] // 2
+    s_re, s_im = src_emb[:, :d], src_emb[:, d:]
+    r_re, r_im = rel_emb[:, :d], rel_emb[:, d:]
+    return jnp.concatenate(
+        [s_re * r_re - s_im * r_im, s_re * r_im + s_im * r_re], axis=1)
+
+
+def complex_apply(
+    params: ComplExParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    all_ent: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    h = _complex_query_vec(src_emb, rel_emb)
+    logits = mm(h, all_ent.T, cfg.compute_dtype) + params.ent_bias[None, :]
+    return logits, state
+
+
+def complex_score_candidates(
+    params: ComplExParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    cand_emb: jax.Array,
+    cand_idx: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    h = _complex_query_vec(src_emb, rel_emb)
+    logits = jnp.einsum("bd,bkd->bk", h, cand_emb,
+                        preferred_element_type=jnp.float32)
+    return logits + params.ent_bias[cand_idx], state
+
+
+def complex_query(
+    params: ComplExParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    return _complex_query_vec(src_emb, rel_emb), state
+
+
 def distmult_query(
     params: DistMultParams,
     state: DistMultState,
@@ -261,18 +400,25 @@ def distmult_query(
 DECODERS = {
     "conve": (conve_init, conve_apply),
     "distmult": (distmult_init, distmult_apply),
+    "transe": (transe_init, transe_apply),
+    "complex": (complex_init, complex_apply),
 }
 
 # decoder trunks producing the query vector h such that
 # logits = h @ all_ent.T + ent_bias — lets the trainer fuse the scoring
 # matmul with the BCE loss (ops/fused_loss.py) instead of materializing the
-# (B, N) logits
+# (B, N) logits.  TransE is distance-based (score has a -||e_o||^2 column
+# term AND a -||q||^2 row term) so it has no trunk and the trainer falls
+# back to the dense loss.
 QUERY_TRUNKS = {
     "conve": conve_query,
     "distmult": distmult_query,
+    "complex": complex_query,
 }
 
 CANDIDATE_SCORERS = {
     "conve": conve_score_candidates,
     "distmult": distmult_score_candidates,
+    "transe": transe_score_candidates,
+    "complex": complex_score_candidates,
 }

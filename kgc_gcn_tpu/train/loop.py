@@ -77,8 +77,11 @@ class Trainer:
             # the ~26us/pass (B, N) HBM traffic they avoid) — it is opt-in for
             # large-batch / large-vocab regimes where (B, N) stops fitting
             impl = "sparse"
-        if impl in ("sparse", "fused") and not hasattr(model, "query_and_bias"):
-            impl = "dense"   # decoder without an h @ all_ent.T + bias form
+        if impl in ("sparse", "fused"):
+            from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
+            if (not hasattr(model, "query_and_bias")
+                    or cfg.decoder not in QUERY_TRUNKS):
+                impl = "dense"   # decoder without an h @ all_ent.T + bias form
         return impl
 
     # ------------------------------------------------------------- train step
