@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder", default="conve",
                    choices=["conve", "distmult", "transe", "complex"])
     p.add_argument("--num_layers", default=1, type=int)
+    p.add_argument("--composition", default="mult",
+                   choices=["mult", "sub", "corr"],
+                   help="entity-relation message composition (CompGCN family)")
     p.add_argument("--num_bases", default=0, type=int)
     p.add_argument("--num_blocks", default=0, type=int)
     p.add_argument("--train_mode", default="one_vs_all",
@@ -113,7 +116,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "patience_num learning_rate weight_decay lbl_smooth bias gcn_in_dim "
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
-        "num_bases num_blocks train_mode num_negatives edge_sample_size "
+        "num_bases num_blocks composition train_mode num_negatives "
+        "edge_sample_size "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
         "rel_compose eval_batch_size data_axis graph_axis data_dir "
         "experiments_dir"

@@ -55,6 +55,11 @@ class Config:
     kernel_size: int = 7
 
     # ---- model family selection (framework extension; BASELINE.json configs) ----
+    composition: str = "mult"        # mult | sub | corr — entity-relation
+                                     # message composition (CompGCN family;
+                                     # the reference is mult, model.py:111-118;
+                                     # sub/corr require the XLA aggregation
+                                     # path, i.e. use_pallas=False)
     model: str = "mgcn"              # mgcn | rgcn
     decoder: str = "conve"           # conve | distmult | transe | complex
     num_layers: int = 1              # encoder depth (reference is fixed at 1)

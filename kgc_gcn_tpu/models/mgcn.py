@@ -109,6 +109,12 @@ class MGCN:
         if self.n_extra and cfg.edge_sample_size > 0:
             raise ValueError(
                 "edge_sample_size is only supported with num_layers=1")
+        if cfg.composition != "mult" and (
+                cfg.use_pallas or cfg.edge_sample_size > 0):
+            raise ValueError(
+                f"composition={cfg.composition!r} requires the XLA "
+                "aggregation path (use_pallas=False, edge_sample_size=0); "
+                "the Pallas kernels compose multiplicatively")
 
     # ------------------------------------------------------------------ init
 
@@ -231,8 +237,9 @@ class MGCN:
                 x, rel_all, params.edge_embeddings, graph)
             in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
-        loop_res = mm(loop_messages(x, c.loop_rel, c.loop_edge), c.loop_weight,
-                      cfg.compute_dtype)
+        loop_res = mm(loop_messages(x, c.loop_rel, c.loop_edge,
+                                    cfg.composition),
+                      c.loop_weight, cfg.compute_dtype)
 
         # (drop(in) + drop(out) + loop) / 3 — loop messages are NOT dropped
         # (reference model.py:103)
@@ -259,7 +266,8 @@ class MGCN:
             in_agg, out_agg = self._agg_halves(x_k, rel_k, et_k, graph)
             in_res = mm(in_agg, ck.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, ck.out_weight, cfg.compute_dtype)
-            loop_res = mm(loop_messages(x_k, ck.loop_rel, ck.loop_edge),
+            loop_res = mm(loop_messages(x_k, ck.loop_rel, ck.loop_edge,
+                                        cfg.composition),
                           ck.loop_weight, cfg.compute_dtype)
             h = (dropout(in_res, cfg.conv_drop, rngs.get(f"conv_in{i}"), train)
                  + dropout(out_res, cfg.conv_drop,
@@ -295,8 +303,10 @@ class MGCN:
                                           self.n_ent, interp,
                                           msg_dtype=cfg.compute_dtype,
                                           rel_onehot=onehot, ew_pallas=ew))
-        return (aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent),
-                aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent))
+        return (aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent,
+                               cfg.composition),
+                aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent,
+                               cfg.composition))
 
     # ---------------------------------------------------------------- decode
 

@@ -29,6 +29,29 @@ import jax.numpy as jnp
 from kgc_gcn_tpu.data.graph import GraphHalf
 
 
+def _ccorr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Circular correlation along the last axis (HolE/CompGCN 'corr'):
+    ``ccorr(a, b) = irfft(conj(rfft(a)) * rfft(b))`` — O(d log d) via XLA FFT."""
+    d = a.shape[-1]
+    return jnp.fft.irfft(jnp.conj(jnp.fft.rfft(a)) * jnp.fft.rfft(b), n=d)
+
+
+def compose_pair(x_j: jax.Array, r: jax.Array, composition: str) -> jax.Array:
+    """Entity-relation composition phi(x_j, r) (CompGCN Eq. 2 family).
+
+    ``mult`` is the reference's composition (reference model.py:111-118);
+    ``sub`` and ``corr`` are the other two CompGCN operators, offered as a
+    framework extension on the XLA aggregation path.
+    """
+    if composition == "mult":
+        return x_j * r
+    if composition == "sub":
+        return x_j - r
+    if composition == "corr":
+        return _ccorr(x_j, r)
+    raise ValueError(f"unknown composition: {composition!r}")
+
+
 def compose_messages(
     x: jax.Array,          # (N, d_in) entity embeddings
     rel_all: jax.Array,    # (2R + 1, d_in) relation embeddings (+ loop row)
@@ -37,16 +60,17 @@ def compose_messages(
                            #   row k belongs to edge position k; see
                            #   models/mgcn.py for the table layout)
     half: GraphHalf,
+    composition: str = "mult",
 ) -> jax.Array:
-    """Per-edge composed message ``x[src] * rel[rel] * etab * norm``.
+    """Per-edge composed message ``phi(x[src], rel[rel]) * etab * norm``.
 
-    Element-wise (CompGCN-mult style) composition incl. the learned per-edge
-    embedding — reference model.py:111-118 — with the norm folded in here so
-    the projection can happen after aggregation.  The per-edge table arrives
-    pre-sliced in edge order, so it needs NO gather (a (E, d) row gather costs
-    ~0.16 ms per call at WN18RR scale on TPU).
+    The reference composes element-wise (CompGCN-mult style) incl. the learned
+    per-edge embedding — reference model.py:111-118 — with the norm folded in
+    here so the projection can happen after aggregation.  The per-edge table
+    arrives pre-sliced in edge order, so it needs NO gather (a (E, d) row
+    gather costs ~0.16 ms per call at WN18RR scale on TPU).
     """
-    msg = x[half.src] * rel_all[half.rel] * etab
+    msg = compose_pair(x[half.src], rel_all[half.rel], composition) * etab
     return msg * half.norm[:, None]
 
 
@@ -56,12 +80,13 @@ def aggregate_half(
     etab: jax.Array,       # (E_pad, d_in) positional slice, see compose_messages
     half: GraphHalf,
     n_ent: int,
+    composition: str = "mult",
 ) -> jax.Array:
     """Compose + scatter-add one direction half; returns ``(N, d_in)``.
 
     Padding edges have ``norm == 0`` and contribute nothing.
     """
-    msg = compose_messages(x, rel_all, etab, half)
+    msg = compose_messages(x, rel_all, etab, half, composition)
     return jax.ops.segment_sum(
         msg, half.dst, num_segments=n_ent, indices_are_sorted=True)
 
@@ -90,6 +115,7 @@ def loop_messages(
     x: jax.Array,          # (N, d_in)
     loop_rel: jax.Array,   # (1, d_in)
     loop_edge: jax.Array,  # (1, d_in)
+    composition: str = "mult",
 ) -> jax.Array:
     """Aggregated self-loop messages, as a dense op.
 
@@ -98,4 +124,4 @@ def loop_messages(
     through the same gather/scatter path with ``norm=None``.  Because the edge
     map is the identity, the scatter IS the elementwise product.
     """
-    return x * loop_rel * loop_edge
+    return compose_pair(x, loop_rel, composition) * loop_edge

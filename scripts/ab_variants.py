@@ -28,7 +28,10 @@ def build(overrides):
     from kgc_gcn_tpu.train.loop import Trainer
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
+    if os.environ.get("AB_GRAPH") == "fb15k":
+        n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
+    else:
+        n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
     rng = np.random.default_rng(0)
     tri = np.stack([
         rng.integers(n_ent, size=n_edge),
@@ -36,8 +39,9 @@ def build(overrides):
         rng.integers(n_ent, size=n_edge),
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
-    cfg = dataset_preset("WN18RR", batch_size=batch, use_pallas=True,
-                         loss_impl="sparse", **overrides)
+    kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse")
+    kw.update(overrides)
+    cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = make_optimizer(cfg).init(params)

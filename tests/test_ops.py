@@ -162,3 +162,29 @@ def test_conve_im2col_matches_lax_conv():
     for a, b, name in zip(g1, g2, ("x", "w")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_ccorr_matches_naive():
+    """Circular correlation via FFT == the O(d^2) definition (ops/scatter)."""
+    from kgc_gcn_tpu.ops.scatter import _ccorr
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(3, 8)).astype(np.float32)
+    b = rng.normal(size=(3, 8)).astype(np.float32)
+    got = np.asarray(_ccorr(jnp.asarray(a), jnp.asarray(b)))
+    d = a.shape[1]
+    want = np.zeros_like(a)
+    for k in range(d):
+        for i in range(d):
+            want[:, k] += a[:, i] * b[:, (i + k) % d]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_compose_pair_variants():
+    from kgc_gcn_tpu.ops.scatter import compose_pair
+    import pytest
+    x = jnp.ones((2, 4)) * 3.0
+    r = jnp.ones((2, 4)) * 2.0
+    np.testing.assert_allclose(np.asarray(compose_pair(x, r, "mult")), 6.0)
+    np.testing.assert_allclose(np.asarray(compose_pair(x, r, "sub")), 1.0)
+    with pytest.raises(ValueError):
+        compose_pair(x, r, "bogus")

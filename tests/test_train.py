@@ -181,3 +181,30 @@ def test_bf16_moment_adam_tracks_f32():
         p16 = optax.apply_updates(p16, jax.tree.map(lambda u: -0.01 * u, u16))
     np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
                                rtol=0.02, atol=2e-3)
+
+
+@pytest.mark.parametrize("composition", ["sub", "corr"])
+def test_composition_variants_train(composition, toy, toy_cfg):
+    """CompGCN sub/corr compositions train end-to-end on the XLA path."""
+    from kgc_gcn_tpu.models import build_model
+
+    ds, graph, banks = toy
+    cfg = toy_cfg.replace(composition=composition)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=graph.e_pad)
+    trainer = Trainer(cfg, model, graph, banks)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    params, state, opt_state, loss = trainer.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(0),
+        jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+
+
+def test_composition_requires_xla_path(toy, toy_cfg):
+    from kgc_gcn_tpu.models import build_model
+    ds, graph, banks = toy
+    cfg = toy_cfg.replace(composition="sub", use_pallas=True)
+    with pytest.raises(ValueError, match="XLA aggregation path"):
+        build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                    e_pad=graph.e_pad)
