@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_grad", default=1.0, type=float)
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_test", action="store_true")
+    p.add_argument("--do_predict", action="store_true",
+                   help="serve top-k link prediction from a checkpoint "
+                        "(kgc_gcn_tpu/serve.py)")
+    p.add_argument("--predict_file", default=None,
+                   help="TSV of 'subject relation' query lines for --do_predict")
+    p.add_argument("--top_k", default=10, type=int)
     p.add_argument("--bi_direction", action="store_false",
                    help="accepted for parity; the graph is always bidirectional "
                         "(the reference flag is dead too, data_loader.py:113-114)")
@@ -190,6 +196,17 @@ def main(argv=None) -> int:
         if cfg.restore_dir is None and cfg.restore_torch is None:
             raise ValueError("Must specify restore dir for testing")
         trainer.evaluate(params, state, "test", mark="Test")
+    if args.do_predict:
+        if cfg.restore_dir is None and cfg.restore_torch is None:
+            raise ValueError("Must specify restore dir for prediction")
+        if not args.predict_file:
+            raise ValueError("--do_predict needs --predict_file")
+        from kgc_gcn_tpu.serve import Predictor, serve_file
+        predictor = Predictor(cfg, model, graph, params, state,
+                              ds.entity2id, ds.relation2id)
+        for line in serve_file(predictor, args.predict_file, k=args.top_k):
+            print(line)
+            logging.info("%s", line)
     return 0
 
 

@@ -1,0 +1,75 @@
+"""Serving API: encode-once Predictor top-k vs full forward, filtering,
+name-level queries, and the TSV file server (kgc_gcn_tpu/serve.py)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.serve import Predictor, serve_file
+
+
+@pytest.fixture(scope="module")
+def predictor(toy, toy_cfg):
+    ds, graph, _ = toy
+    model = build_model(toy_cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=graph.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return ds, model, params, state, Predictor(
+        toy_cfg, model, graph, params, state, ds.entity2id, ds.relation2id)
+
+
+def test_top_k_matches_full_forward(predictor):
+    ds, model, params, state, pred = predictor
+    src = np.array([0, 1, 2], np.int32)
+    rel = np.array([0, 1, 2], np.int32)
+    scores, idx = pred.top_k(src, rel, k=5)
+
+    logits, _ = model.apply(params, state, pred.graph, src, rel, train=False)
+    logits = np.asarray(logits)
+    for b in range(3):
+        order = np.argsort(-logits[b])[:5]
+        np.testing.assert_array_equal(idx[b], order)
+        np.testing.assert_allclose(scores[b], logits[b][order], rtol=1e-5)
+
+
+def test_top_k_filtering(predictor):
+    ds, model, params, state, pred = predictor
+    src = np.array([0], np.int32)
+    rel = np.array([0], np.int32)
+    _, unfiltered = pred.top_k(src, rel, k=3)
+    banned = unfiltered[0][:2].astype(np.int32)             # ban the top 2
+    filt = np.full((1, 8), ds.num_entity, np.int32)
+    filt[0, :2] = banned
+    _, filtered = pred.top_k(src, rel, k=3, filter_idx=filt)
+    assert not set(banned).intersection(filtered[0])
+
+
+def test_score_triples_matches_topk_scores(predictor):
+    ds, model, params, state, pred = predictor
+    src = np.array([1, 2], np.int32)
+    rel = np.array([0, 1], np.int32)
+    scores, idx = pred.top_k(src, rel, k=1)
+    got = pred.score_triples(src, rel, idx[:, 0])
+    np.testing.assert_allclose(got, scores[:, 0], rtol=1e-5)
+
+
+def test_query_names_and_serve_file(predictor, tmp_path):
+    ds, model, params, state, pred = predictor
+    subject = next(iter(ds.entity2id))
+    relation = next(r for r in ds.relation2id if not r.endswith("_reverse"))
+
+    ranked = pred.query_names(subject, relation, k=3)
+    assert len(ranked) == 3
+    assert all(r["entity"] in ds.entity2id for r in ranked)
+    head = pred.query_names(subject, relation, k=3, head=True)
+    assert len(head) == 3
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text(f"{subject}\t{relation}\n\n{subject}\t{relation}\n")
+    lines = serve_file(pred, str(qf), k=2)
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["subject"] == subject and len(rec["topk"]) == 2
