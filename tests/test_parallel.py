@@ -221,3 +221,25 @@ def test_ring_aggregate_matches_single_device(toy, eight_devices):
             np.testing.assert_allclose(
                 np.asarray(out)[: ds.num_entity], np.asarray(expect),
                 rtol=1e-5, atol=1e-5, err_msg=half_name)
+
+
+def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
+    """Filtered-rank evaluation under the (data x graph) mesh == single-device
+    metrics (eval is deterministic, so equality is exact up to float sums)."""
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    host = jax.tree.map(np.asarray, (params, state))
+
+    t1 = Trainer(cfg, model, g, banks)
+    r1 = t1.evaluate(params, state, "valid")
+
+    params, state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        t2 = Trainer(cfg, model, gs, banks, mesh=mesh)
+        r2 = t2.evaluate(ps, ss, "valid")
+
+    for k in r1:
+        assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
