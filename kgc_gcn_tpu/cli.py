@@ -189,6 +189,11 @@ def main(argv=None) -> int:
 
     if cfg.do_train and cfg.do_test:
         raise ValueError("Can not perform training and testing at one time")
+    if args.do_predict:   # validate BEFORE any training work happens
+        if cfg.restore_dir is None and cfg.restore_torch is None:
+            raise ValueError("Must specify restore dir for prediction")
+        if not args.predict_file:
+            raise ValueError("--do_predict needs --predict_file")
     if cfg.do_train:
         params, state, opt_state, best = train_and_evaluate(
             trainer, params, state, opt_state, model_dir, best, seed=cfg.seed % 2**32)
@@ -197,16 +202,12 @@ def main(argv=None) -> int:
             raise ValueError("Must specify restore dir for testing")
         trainer.evaluate(params, state, "test", mark="Test")
     if args.do_predict:
-        if cfg.restore_dir is None and cfg.restore_torch is None:
-            raise ValueError("Must specify restore dir for prediction")
-        if not args.predict_file:
-            raise ValueError("--do_predict needs --predict_file")
         from kgc_gcn_tpu.serve import Predictor, serve_file
         predictor = Predictor(cfg, model, graph, params, state,
                               ds.entity2id, ds.relation2id)
         for line in serve_file(predictor, args.predict_file, k=args.top_k):
-            print(line)
-            logging.info("%s", line)
+            print(line)   # stdout is the serving contract (train.log has the
+                          # run context; duplicating there doubles console out)
     return 0
 
 

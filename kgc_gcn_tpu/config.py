@@ -118,8 +118,10 @@ class Config:
                                      # sparse: same loss via the affine label
                                      # split — no label matrix (ops/fused_loss).
                                      # fused: sparse + Pallas classifier; the
-                                     # (B, N) score matrix never leaves VMEM.
-                                     # auto: fused when use_pallas else sparse.
+                                     # (B, N) score matrix never leaves VMEM
+                                     # (opt-in: measured slightly slower at
+                                     # B=128, wins when (B, N) stops fitting).
+                                     # auto: sparse.
     prng_impl: str = "rbg"           # rbg | threefry | unsafe_rbg — dropout
                                      # key implementation.  threefry is pure
                                      # VPU math recomputed inside every fusion

@@ -110,11 +110,13 @@ class MGCN:
             raise ValueError(
                 "edge_sample_size is only supported with num_layers=1")
         if cfg.composition != "mult" and (
-                cfg.use_pallas or cfg.edge_sample_size > 0):
+                cfg.use_pallas or cfg.edge_sample_size > 0
+                or cfg.agg_schedule == "reference"):
             raise ValueError(
-                f"composition={cfg.composition!r} requires the XLA "
-                "aggregation path (use_pallas=False, edge_sample_size=0); "
-                "the Pallas kernels compose multiplicatively")
+                f"composition={cfg.composition!r} requires the default XLA "
+                "aggregation path (use_pallas=False, edge_sample_size=0, "
+                "agg_schedule='fused'); the Pallas kernels and the reference "
+                "bench schedule compose multiplicatively")
 
     # ------------------------------------------------------------------ init
 

@@ -463,8 +463,8 @@ def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                     indptr, sperm, s_indptr, s_src, rdata,
-                    n_ent, interpret, msg_dtype="float32", rel_onehot=True,
-                    ew_pallas=True):
+                    n_ent, interpret, msg_dtype="float32",
+                    rel_onehot=False, ew_pallas=False):
     from kgc_gcn_tpu.ops.elementwise_pallas import _pick_tile, compose_msg_pad
     rg = rel_rows_onehot(rel_all, rel) if rel_onehot else rel_all[rel]
     if ew_pallas and _pick_tile(src.shape[0]) and not interpret:
@@ -490,8 +490,8 @@ def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
 
 def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
              indptr, sperm, s_indptr, s_src, rdata,
-             n_ent, interpret, msg_dtype="float32", rel_onehot=True,
-             ew_pallas=True):
+             n_ent, interpret, msg_dtype="float32",
+             rel_onehot=False, ew_pallas=False):
     out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
                           indptr, sperm, s_indptr, s_src, rdata,
                           n_ent, interpret, msg_dtype, rel_onehot, ew_pallas)
@@ -580,8 +580,11 @@ _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
 def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
                           interpret: bool = False,
                           msg_dtype: str = "float32",
-                          rel_onehot: bool = True,
-                          ew_pallas: bool = True):
+                          rel_onehot: bool = False,
+                          ew_pallas: bool = False):
+    # keyword defaults mirror the Config defaults (rel_compose='gather',
+    # ew_impl='xla' — the variants measured fastest and exact); the opt-in
+    # alternates are selected explicitly by the model from the config
     """Pallas-backed drop-in for ops.scatter.aggregate_half.
 
     ``etab`` is this half's per-edge embedding slice in the half's dst-sorted

@@ -57,7 +57,6 @@ class Predictor:
             logits, _ = model.decode(
                 params, state, self.all_ent, self.all_rel, src, rel,
                 train=False)
-            n = logits.shape[1]
             rows = jnp.arange(logits.shape[0])
             logits = logits.at[rows[:, None], filter_idx].set(
                 -jnp.inf, mode="drop")
@@ -115,7 +114,13 @@ class Predictor:
 
 def serve_file(predictor: Predictor, path: str, k: int = 10,
                batch_size: int = 128) -> List[str]:
-    """Serve a TSV of ``subject<TAB>relation`` queries; returns JSON lines."""
+    """Serve a TSV of ``subject<TAB>relation`` queries; returns JSON lines.
+
+    Queries are BATCHED: ``batch_size`` queries share one jitted decoder
+    matmul + top_k (per-query dispatch costs ~3 ms through a remote tunnel —
+    BENCH_NOTES.md); the final partial batch is padded with query 0 and the
+    padding results dropped.
+    """
     queries = []
     with open(path) as f:
         for line in f:
@@ -125,9 +130,27 @@ def serve_file(predictor: Predictor, path: str, k: int = 10,
             if len(parts) < 2:
                 raise ValueError(f"{path}: malformed query line {line!r}")
             queries.append((parts[0].lower(), parts[1].lower()))
+    if not queries:
+        return []
+
+    src = np.array([predictor.entity2id[s] for s, _ in queries], np.int32)
+    rel = np.array([predictor.relation2id[r] for _, r in queries], np.int32)
     out = []
-    for sub, rel in queries:
-        ranked = predictor.query_names(sub, rel, k=k)
-        out.append(json.dumps(
-            {"subject": sub, "relation": rel, "topk": ranked}))
+    for lo in range(0, len(queries), batch_size):
+        s_b, r_b = src[lo:lo + batch_size], rel[lo:lo + batch_size]
+        n_real = len(s_b)
+        if n_real < batch_size and len(queries) > batch_size:
+            pad = batch_size - n_real        # keep ONE compiled batch shape
+            s_b = np.concatenate([s_b, np.zeros(pad, np.int32)])
+            r_b = np.concatenate([r_b, np.zeros(pad, np.int32)])
+        scores, idx = predictor.top_k(s_b, r_b, k=k)
+        for q in range(n_real):
+            sub, rl = queries[lo + q]
+            ranked = [
+                {"entity": predictor.id2entity.get(int(e), str(int(e))),
+                 "score": float(v)}
+                for v, e in zip(scores[q], idx[q])
+            ]
+            out.append(json.dumps(
+                {"subject": sub, "relation": rl, "topk": ranked}))
     return out

@@ -84,6 +84,12 @@ class Trainer:
                 impl = "dense"   # decoder without an h @ all_ent.T + bias form
         return impl
 
+    @property
+    def steps_per_epoch(self) -> int:
+        """Optimizer steps per epoch (subclasses with other epoch shapes
+        override — e.g. negative sampling iterates positive triples)."""
+        return -(-self.banks["train"].n_queries // self.cfg.batch_size)
+
     # ------------------------------------------------------------- train step
 
     def _loss_and_update(self, params, state, opt_state, graph, lr, q,
@@ -229,7 +235,7 @@ def train_and_evaluate(
     key = root_key(cfg, seed)
 
     from kgc_gcn_tpu.utils.profiling import StepTimer
-    steps_per_epoch = -(-trainer.banks["train"].n_queries // cfg.batch_size)
+    steps_per_epoch = trainer.steps_per_epoch
     timer = StepTimer(trainer.graph.num_messages,
                       n_chips=trainer.mesh.size if trainer.mesh else 1)
 

@@ -50,6 +50,10 @@ class NegativeSamplingTrainer(Trainer):
         self._neg_epoch_jit = jax.jit(
             self._neg_epoch, donate_argnums=(0, 1, 2))
 
+    @property
+    def steps_per_epoch(self) -> int:
+        return -(-int(self.pos_triples.shape[0]) // self.cfg.batch_size)
+
     def _neg_loss_and_update(self, params, state, opt_state, graph, lr, tri,
                              mask, rng):
         cfg = self.cfg

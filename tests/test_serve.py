@@ -73,3 +73,19 @@ def test_query_names_and_serve_file(predictor, tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[0])
     assert rec["subject"] == subject and len(rec["topk"]) == 2
+
+
+def test_serve_file_batched_matches_per_query(predictor, tmp_path):
+    """Batched file serving == per-query results, across batch boundaries."""
+    ds, model, params, state, pred = predictor
+    ents = list(ds.entity2id)
+    rels = [r for r in ds.relation2id if not r.endswith("_reverse")]
+    qf = tmp_path / "q.txt"
+    lines = [f"{ents[i % len(ents)]}\t{rels[i % len(rels)]}" for i in range(7)]
+    qf.write_text("\n".join(lines) + "\n")
+    got = serve_file(pred, str(qf), k=2, batch_size=3)   # 3 batches, last=1
+    assert len(got) == 7
+    for i, line in enumerate(got):
+        rec = json.loads(line)
+        want = pred.query_names(rec["subject"], rec["relation"], k=2)
+        assert [e["entity"] for e in rec["topk"]] == [e["entity"] for e in want]
