@@ -55,7 +55,17 @@ def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
         return path
     path = os.path.join(ckpt_dir, CKPT_NAME)
     leaves, _ = _flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays = {}
+    for i, l in enumerate(leaves):
+        a = np.asarray(l)
+        if a.dtype.kind == "V" or not a.dtype.isnative or a.dtype.name not in \
+                np.sctypeDict:
+            # extended dtypes (bfloat16 via ml_dtypes): np.savez would write
+            # an opaque void dtype that cannot round-trip — store the raw
+            # bits plus the dtype name instead
+            arrays[f"leaf_{i}__dtype"] = np.asarray(str(a.dtype))
+            a = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+        arrays[f"leaf_{i}"] = a
     arrays[_MEASURE_KEY] = np.asarray(measure, np.float64)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -88,6 +98,9 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
     restored = []
     for i, leaf in enumerate(leaves):
         arr = data[f"leaf_{i}"]
+        if f"leaf_{i}__dtype" in data:        # extended dtype (e.g. bfloat16)
+            import ml_dtypes  # noqa: F401 — registers the dtype names
+            arr = arr.view(np.dtype(str(data[f"leaf_{i}__dtype"])))
         if leaf is not None and hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template {leaf.shape}")

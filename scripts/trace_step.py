@@ -31,7 +31,10 @@ def main(mode="pallas"):
     from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
+    if mode == "fb15k":
+        n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
+    else:
+        n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
     rng = np.random.default_rng(0)
     tri = np.stack([
         rng.integers(n_ent, size=n_edge),
@@ -41,7 +44,7 @@ def main(mode="pallas"):
     graph = build_graph(tri, n_ent, n_rel)
 
     cfg = dataset_preset("WN18RR", batch_size=batch)
-    if mode == "pallas":
+    if mode in ("pallas", "fb15k"):
         cfg = cfg.replace(use_pallas=True)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

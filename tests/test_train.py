@@ -208,3 +208,34 @@ def test_composition_requires_xla_path(toy, toy_cfg):
     with pytest.raises(ValueError, match="XLA aggregation path"):
         build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
                     e_pad=graph.e_pad)
+
+
+def test_checkpoint_roundtrip_bf16_moments(toy, toy_cfg, tmp_path):
+    """Save/restore preserves bf16 Adam moment dtypes and values."""
+    from kgc_gcn_tpu.models import build_model
+
+    ds, graph, banks = toy
+    cfg = toy_cfg.replace(moment_dtype="bfloat16")
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=graph.e_pad)
+    trainer = Trainer(cfg, model, graph, banks)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    params, state, opt_state, _ = trainer.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(0),
+        jax.random.PRNGKey(1))
+
+    tree = {"params": params, "state": state, "opt_state": opt_state}
+    save_checkpoint(str(tmp_path), tree, 0.5)
+    restored, measure = load_checkpoint(str(tmp_path), tree)
+    assert abs(measure - 0.5) < 1e-6
+    import optax
+    adam = next(s for s in jax.tree.leaves(
+        restored["opt_state"], is_leaf=lambda x: isinstance(
+            x, optax.ScaleByAdamState)) if isinstance(
+                x := s, optax.ScaleByAdamState))
+    mu_leaves = jax.tree.leaves(adam.mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    for a, b in zip(jax.tree.leaves(tree["opt_state"]),
+                    jax.tree.leaves(restored["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
