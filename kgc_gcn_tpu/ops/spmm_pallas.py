@@ -41,10 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kgc_gcn_tpu.data.graph import GraphHalf
 
+import os
+
 from kgc_gcn_tpu.tiling import TILE_E, TILE_N
-ONEHOT_LIMIT = 64 * 1024 * 1024   # max one-hot element count (~128 MB bf16)
-#   above this, relation one-hot matmuls fall back to rel-sorted kernel /
-#   row-gather paths (FB15k-scale vocabularies)
+ONEHOT_LIMIT = int(os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024))
+#   max relation one-hot element count (bf16 bytes = 2x this); above it,
+#   relation one-hot matmuls fall back to the rel-sorted kernel / row-gather
+#   paths.  Raised 64M -> 256M 2026-08-18: at FB15k scale (E2=272k x R'=476 =
+#   130M) the one-hot matmul replaces a 2.7 ms large-source permutation
+#   gather + pad + kernel with ~1 ms of MXU work per half (see BENCH_NOTES).
 
 
 def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,

@@ -41,6 +41,9 @@ def build(overrides):
     graph = build_graph(tri, n_ent, n_rel)
     kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse")
     kw.update(overrides)
+    if "onehot_limit" in kw:   # module knob, not a Config field
+        import kgc_gcn_tpu.ops.spmm_pallas as sp
+        sp.ONEHOT_LIMIT = int(kw.pop("onehot_limit"))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
