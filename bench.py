@@ -19,7 +19,8 @@ early in round 1.  Three reps, median reported.
 schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
 measured throughput (SURVEY.md §6).
 
-Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k|eval]`` —
+Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k|eval|
+best|fb15k_best]`` —
 default pallas (per-half kernels, f32: the fastest verified full-precision
 path).  ``stacked`` is the one-launch fused-compose layout (multi-chip
 oriented); ``bf16`` casts matmul operands to bfloat16 (f32 accumulation);
@@ -49,9 +50,9 @@ def main(mode: str = "pallas"):
     from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    if mode == "fb15k":
+    if mode.startswith("fb15k"):
         # FB15k-237-scale synthetic graph (many relations, dense):
-        # exercises the rel-sorted d_rel path and the 17M-row edge table
+        # exercises the large-vocabulary d_rel path and the 54M-row edge table
         n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
     else:
         n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
@@ -71,6 +72,15 @@ def main(mode: str = "pallas"):
         cfg = cfg.replace(agg_schedule="reference")
     elif mode in ("pallas", "fb15k", "eval"):
         cfg = cfg.replace(use_pallas=True)
+    elif mode == "best":
+        # fastest measured WN18RR-scale config with f32 compute: bf16 is only
+        # Adam moment STORAGE (update math f32); see BENCH_NOTES 2026-08-18
+        cfg = cfg.replace(use_pallas=True, moment_dtype="bfloat16")
+    elif mode == "fb15k_best":
+        # fastest measured FB15k-scale config: bf16 matmul operands/messages
+        # (f32 accumulation) + bf16 moment storage
+        cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16",
+                          moment_dtype="bfloat16")
     elif mode == "stacked":
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")
     elif mode == "bf16":

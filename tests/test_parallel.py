@@ -243,3 +243,28 @@ def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
 
     for k in r1:
         assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
+
+
+def test_sharded_step_with_rbg_keys(toy, toy_cfg, eight_devices):
+    """The default prng_impl=rbg (TPU hardware RNG) must also compile and run
+    under the (data x graph) mesh — dropout keys flow through GSPMD."""
+    from kgc_gcn_tpu.train.loop import root_key
+
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    cfg = cfg.replace(prng_impl="rbg")
+    mesh = make_mesh(data=2, graph=4)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        t = Trainer(cfg, model, gs, banks, mesh=mesh)
+        bank = banks["train"]
+        q = jax.device_put(np.asarray(bank.queries[:8]), bsp)
+        lbl = jax.device_put(np.asarray(bank.label_idx[:8]), bsp)
+        mask = jax.device_put(np.ones((8,), np.float32), bsp)
+        _, _, _, loss = t._train_step_jit(
+            ps, ss, os_, gs, jnp.float32(1e-3), q, lbl, mask,
+            root_key(cfg, 3))
+    assert np.isfinite(float(loss))

@@ -53,3 +53,44 @@ def test_step_timer_excludes_warmup():
     assert t.steps == 10
     assert t.edges_per_s_per_chip == t.steps_per_s * 1000 / 2
     assert "steps/s" in t.report()
+
+
+def test_cli_flag_precedence_over_presets():
+    """Explicit CLI values override dataset presets; untouched argparse
+    defaults do NOT clobber preset tuning (cli.py:config_from_args)."""
+    from kgc_gcn_tpu.cli import build_parser, config_from_args
+
+    # no flags: WN18RR preset lr (0.002) wins over the argparse default (0.001)
+    args = build_parser().parse_args(["--dataset", "WN18RR"])
+    cfg = config_from_args(args)
+    assert cfg.learning_rate == 0.002
+    assert cfg.eval_every == 2
+
+    # explicit flag beats the preset
+    args = build_parser().parse_args(
+        ["--dataset", "WN18RR", "--learning_rate", "0.01",
+         "--decoder", "complex", "--composition", "sub",
+         "--prng_impl", "threefry", "--moment_dtype", "bfloat16"])
+    cfg = config_from_args(args)
+    assert cfg.learning_rate == 0.01
+    assert cfg.decoder == "complex"
+    assert cfg.composition == "sub"
+    assert cfg.prng_impl == "threefry"
+    assert cfg.moment_dtype == "bfloat16"
+    assert cfg.eval_every == 2   # untouched preset survives
+
+
+def test_cli_params_json_records_effective_config(tmp_path):
+    """params.json written at startup reflects the EFFECTIVE config
+    (reference quirk: vars(args) overwrite, SURVEY.md §2.4.1)."""
+    from kgc_gcn_tpu.cli import build_parser, config_from_args
+    from kgc_gcn_tpu.config import Config
+
+    args = build_parser().parse_args(
+        ["--dataset", "WN18RR", "--batch_size", "64"])
+    cfg = config_from_args(args)
+    p = tmp_path / "params.json"
+    cfg.to_json(str(p))
+    back = Config.from_json(str(p))
+    assert back == cfg
+    assert back.batch_size == 64 and back.learning_rate == 0.002
