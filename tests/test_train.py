@@ -239,3 +239,42 @@ def test_checkpoint_roundtrip_bf16_moments(toy, toy_cfg, tmp_path):
     for a, b in zip(jax.tree.leaves(tree["opt_state"]),
                     jax.tree.leaves(restored["opt_state"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_memorizes_train_triples_high_mrr(toy, toy_cfg):
+    """End-to-end learning check: enough epochs of full-batch training must
+    drive filtered MRR on the TRAIN triples near 1 (memorization) — validates
+    the whole optimize -> encode -> decode -> rank loop beyond
+    loss-goes-down (SURVEY.md §4 integration tier; accuracy targets on real
+    corpora are not exercisable in this environment)."""
+    from kgc_gcn_tpu.data.batching import make_query_bank
+    from kgc_gcn_tpu.models import build_model
+
+    ds, graph, banks = toy
+    cfg = toy_cfg.replace(learning_rate=0.01, lbl_smooth=0.1,
+                          gcn_drop=0.0, conv_drop=0.0, hidden_drop=0.0,
+                          feat_drop=0.0)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=graph.e_pad)
+
+    # eval bank over the train triples (tail direction), filters = train sr2o
+    tri = ds.train_triples
+    sr2o = {}
+    for s, r, o in tri:
+        sr2o.setdefault((int(s), int(r)), []).append(int(o))
+    eq = np.array([[s, r, o] for s, r, o in tri], np.int32)
+    labels = [sr2o[(int(s), int(r))] for s, r, _ in tri]
+    train_eval = make_query_bank(eq, labels, ds.num_entity)
+
+    trainer = Trainer(cfg, model, graph,
+                      {**banks, "train_tail": train_eval,
+                       "train_head": train_eval})
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    host = np.random.default_rng(0)
+    for epoch in range(1, 161):
+        params, state, opt_state, loss = trainer.train_epoch(
+            params, state, opt_state, epoch, host, jax.random.PRNGKey(epoch))
+    res = trainer.evaluate(params, state, "train", mark="TrainFit")
+    assert res["mrr"] > 0.85, res
+    assert res["hits@1"] > 0.75, res
