@@ -77,7 +77,7 @@ class Config:
                                      # (bf16 cuts the HBM-bound optimizer pass
                                      # from 28 to 20 B/param/step; update math
                                      # stays f32; affects numerics slightly)
-    conv_impl: str = "im2col"        # im2col | lax — ConvE convolution lowering
+    conv_impl: str = "im2col"        # im2col | patches | lax — ConvE conv lowering
                                      # (C_in=1 NCHW lax.conv has a pathological
                                      # TPU layout: its backward alone was the
                                      # single most expensive op of the step)

@@ -129,6 +129,18 @@ def conve_query(
     x, ns0 = batch_norm(img, params.bn0, state.bn0, train=train, channel_axis=1)
     if cfg.conv_impl == "im2col":
         x = _conv2d_c1_im2col(x, params.conv_w, cfg.compute_dtype)
+    elif cfg.conv_impl == "patches":
+        # same im2col algebra with the patch extraction done by XLA's
+        # conv_general_dilated_patches instead of 49 stacked slices
+        b2, _, hh, ww = x.shape
+        f, _, kk, _ = params.conv_w.shape
+        oh, ow = hh - kk + 1, ww - kk + 1
+        p = jax.lax.conv_general_dilated_patches(
+            x, (kk, kk), (1, 1), "VALID")              # (B, k*k, OH, OW)
+        patches = p.transpose(0, 2, 3, 1).reshape(b2 * oh * ow, kk * kk)
+        wmat = params.conv_w.reshape(f, kk * kk).T
+        x = mm(patches, wmat, cfg.compute_dtype) \
+            .reshape(b2, oh, ow, f).transpose(0, 3, 1, 2)
     else:
         conv_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                       else params.conv_w.dtype)

@@ -100,3 +100,23 @@ def test_train_step_smoke(decoder, toy, toy_cfg):
     assert np.isfinite(loss)
     res = trainer.evaluate(params, state, "valid")
     assert 0.0 < res["mrr"] <= 1.0
+
+
+def test_conv_impls_agree():
+    """All three ConvE convolution lowerings produce the same logits."""
+    import dataclasses
+    from kgc_gcn_tpu.models.decoders import conve_init, conve_apply
+
+    outs = []
+    for impl in ("im2col", "patches", "lax"):
+        cfg = dataset_preset("Toy", gcn_out_dim=32, k_w=4, k_h=8,
+                             num_filter=4, kernel_size=3, conv_impl=impl)
+        params, state = conve_init(jax.random.PRNGKey(0), cfg, 9)
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.normal(size=(3, 32)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(3, 32)), jnp.float32)
+        ent = jnp.asarray(rng.normal(size=(9, 32)), jnp.float32)
+        logits, _ = conve_apply(params, state, cfg, src, rel, ent, train=False)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4, atol=1e-4)
