@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epoch", default=500, type=int)
     p.add_argument("--min_epoch", default=50, type=int)
     p.add_argument("--eval_every", default=1, type=int)
+    p.add_argument("--ckpt_every", default=0, type=int,
+                   help="async periodic checkpoint every K epochs (0=off)")
     p.add_argument("--patience", default=0.001, type=float)
     p.add_argument("--patience_num", default=-1, type=int)
     p.add_argument("--learning_rate", default=0.001, type=float)
@@ -118,7 +120,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     overrides = {}
     defaults = build_parser().parse_args([])
     for field in (
-        "seed restore_dir restore_torch batch_size max_epoch min_epoch eval_every patience "
+        "seed restore_dir restore_torch batch_size max_epoch min_epoch "
+        "eval_every ckpt_every patience "
         "patience_num learning_rate weight_decay lbl_smooth bias gcn_in_dim "
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "

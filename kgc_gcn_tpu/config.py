@@ -28,6 +28,10 @@ class Config:
     max_epoch: int = 500
     min_epoch: int = 50
     eval_every: int = 1
+    ckpt_every: int = 0              # >0: async periodic crash-insurance
+                                     # checkpoint every K epochs (orbax; in
+                                     # ADDITION to the reference's
+                                     # save-on-improvement best checkpoint)
     patience: float = 0.001          # min improvement counted as progress
     patience_num: int = -1           # early-stop after this many stale evals (<=0: off)
 

@@ -80,7 +80,7 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
     ``template`` supplies the pytree structure (e.g. from ``model.init`` +
     ``optimizer.init``); leaf count and shapes must match.
     """
-    if os.path.isdir(path) and os.path.basename(path) != ORBAX_DIR:
+    if os.path.isdir(path) and not path.endswith(".orbax"):
         orbax_path = os.path.join(path, ORBAX_DIR)
         path = orbax_path if os.path.isdir(orbax_path) \
             else os.path.join(path, CKPT_NAME)
@@ -107,3 +107,67 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
         restored.append(jax.numpy.asarray(arr))
     measure = float(data[_MEASURE_KEY]) if _MEASURE_KEY in data else 0.0
     return jax.tree.unflatten(treedef, restored), measure
+
+
+# -------------------------------------------------- periodic async checkpoints
+
+PERIODIC_DIR = "periodic.orbax"
+_ASYNC_CKPTR = None
+_PENDING: Optional[Tuple[str, str]] = None   # (tmp_path, final_path) in flight
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def _promote_pending() -> None:
+    """After the in-flight write committed, atomically replace the previous
+    periodic checkpoint — a crash mid-write never loses the last good one."""
+    global _PENDING
+    if _PENDING is None:
+        return
+    import shutil
+    tmp, final = _PENDING
+    _PENDING = None
+    if os.path.isdir(tmp):
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+
+def save_checkpoint_async(ckpt_dir: str, tree: Any, measure: float) -> str:
+    """Fire-and-forget periodic checkpoint (SURVEY.md §5.3/5.4): the orbax
+    AsyncCheckpointer copies device buffers to host immediately and writes in
+    a background thread — training dispatch continues while I/O runs.  Writes
+    land in a tmp directory and are promoted to ``<dir>/periodic.orbax`` at
+    the next join, so the latest COMPLETE periodic save is always restorable
+    via ``load_checkpoint(<dir>/periodic.orbax, ...)`` even across a crash
+    mid-write.  A new save joins the previous one first (at most one write in
+    flight).
+
+    Unlike ``save_checkpoint`` (save-on-improvement = the reference's
+    best-tracking policy, utils.py:121-135), this is crash insurance on a
+    fixed cadence (``--ckpt_every``)."""
+    global _PENDING
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), PERIODIC_DIR)
+    tmp = path + ".tmp"
+    ckptr = _async_ckptr()
+    ckptr.wait_until_finished()             # join the previous in-flight save
+    _promote_pending()
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    ckptr.save(tmp, {"tree": tree, _MEASURE_KEY: jax.numpy.asarray(measure)})
+    _PENDING = (tmp, path)
+    return path
+
+
+def wait_for_async_checkpoints() -> None:
+    """Block until any in-flight periodic save has committed and promoted."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+        _promote_pending()

@@ -31,7 +31,8 @@ from kgc_gcn_tpu.data.graph import Graph
 from kgc_gcn_tpu.ops.fused_loss import fused_score_bce, sparse_bce_with_logits
 from kgc_gcn_tpu.ops.losses import bce_with_logits
 from kgc_gcn_tpu.ops.ranking import combine_head_tail, filtered_ranks, rank_metrics
-from kgc_gcn_tpu.train.checkpoint import save_checkpoint
+from kgc_gcn_tpu.train.checkpoint import (
+    save_checkpoint, save_checkpoint_async, wait_for_async_checkpoints)
 from kgc_gcn_tpu.train.optim import apply_updates_with_lr, epoch_lr, make_optimizer
 
 
@@ -252,6 +253,14 @@ def train_and_evaluate(
                      epoch, cfg.max_epoch, loss, dt,
                      f", {timer.report()}" if epoch > 1 else "")
 
+        if (cfg.ckpt_every > 0 and model_dir is not None
+                and epoch % cfg.ckpt_every == 0):
+            # crash insurance on a fixed cadence, written asynchronously —
+            # in ADDITION to the reference's save-on-improvement best ckpt
+            save_checkpoint_async(
+                model_dir, {"params": params, "state": state,
+                            "opt_state": opt_state}, best_measure)
+
         if epoch % cfg.eval_every == 0:
             val = trainer.evaluate(params, state, "valid", mark="Val")
             improve = val["mrr"] - best_measure
@@ -274,4 +283,6 @@ def train_and_evaluate(
                              best_measure)
                 break
 
+    if cfg.ckpt_every > 0:
+        wait_for_async_checkpoints()   # commit any in-flight periodic save
     return params, state, opt_state, best_measure

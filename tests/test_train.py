@@ -278,3 +278,31 @@ def test_training_memorizes_train_triples_high_mrr(toy, toy_cfg):
     res = trainer.evaluate(params, state, "train", mark="TrainFit")
     assert res["mrr"] > 0.85, res
     assert res["hits@1"] > 0.75, res
+
+
+def test_periodic_async_checkpoint(toy, toy_cfg, tmp_path):
+    """ckpt_every writes restorable crash-insurance checkpoints alongside the
+    save-on-improvement best checkpoint (train/checkpoint.py async path)."""
+    import os
+    from kgc_gcn_tpu.models import build_model
+    from kgc_gcn_tpu.train.checkpoint import PERIODIC_DIR
+
+    ds, graph, banks = toy
+    cfg = toy_cfg.replace(max_epoch=3, eval_every=10, ckpt_every=2,
+                          num_filter=2)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=graph.e_pad)
+    trainer = Trainer(cfg, model, graph, banks)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    p, s, o, best = train_and_evaluate(
+        trainer, params, state, opt_state, model_dir=str(tmp_path))
+
+    path = os.path.join(str(tmp_path), PERIODIC_DIR)
+    assert os.path.isdir(path), os.listdir(str(tmp_path))
+    tpl = {"params": p, "state": s, "opt_state": o}
+    restored, measure = load_checkpoint(path, tpl)
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(p)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    assert np.isfinite(measure)
