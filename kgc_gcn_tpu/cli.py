@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predict_file", default=None,
                    help="TSV of 'subject relation' query lines for --do_predict")
     p.add_argument("--top_k", default=10, type=int)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of one "
+                        "post-compile training epoch into this directory")
     p.add_argument("--bi_direction", action="store_false",
                    help="accepted for parity; the graph is always bidirectional "
                         "(the reference flag is dead too, data_loader.py:113-114)")
@@ -199,7 +202,8 @@ def main(argv=None) -> int:
             raise ValueError("--do_predict needs --predict_file")
     if cfg.do_train:
         params, state, opt_state, best = train_and_evaluate(
-            trainer, params, state, opt_state, model_dir, best, seed=cfg.seed % 2**32)
+            trainer, params, state, opt_state, model_dir, best,
+            seed=cfg.seed % 2**32, profile_dir=args.profile_dir)
     if cfg.do_test:
         if cfg.restore_dir is None and cfg.restore_torch is None:
             raise ValueError("Must specify restore dir for testing")

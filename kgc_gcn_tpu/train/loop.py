@@ -226,6 +226,8 @@ def train_and_evaluate(
     model_dir: Optional[str] = None,
     saved_best: float = 0.0,
     seed: int = 0,
+    profile_dir: Optional[str] = None,
+    profile_epoch: int = 2,
 ) -> Tuple[Any, Any, Any, float]:
     """Epoch driver with eval-every, best-tracking and early stop
     (reference main.py:138-174)."""
@@ -244,8 +246,18 @@ def train_and_evaluate(
     for epoch in range(1, cfg.max_epoch + 1):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        params, state, opt_state, loss = trainer.train_epoch(
-            params, state, opt_state, epoch, host_rng, sub)
+        if profile_dir and epoch == profile_epoch:
+            # trace one post-compile epoch (epoch 1 is compile-dominated);
+            # view with xprof/TensorBoard or scripts/trace_step.py's parser
+            from kgc_gcn_tpu.utils.profiling import trace
+            with trace(profile_dir):
+                params, state, opt_state, loss = trainer.train_epoch(
+                    params, state, opt_state, epoch, host_rng, sub)
+            logging.info("Captured device trace of epoch %d -> %s",
+                         epoch, profile_dir)
+        else:
+            params, state, opt_state, loss = trainer.train_epoch(
+                params, state, opt_state, epoch, host_rng, sub)
         dt = time.perf_counter() - t0    # train only (train_epoch host-syncs)
         if epoch > 1:                    # epoch 1 is compile-dominated
             timer.add(dt, steps_per_epoch)

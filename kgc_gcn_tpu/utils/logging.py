@@ -31,6 +31,11 @@ def set_logger(log_path: str) -> None:
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
+    # orbax's async-save worker logs several INFO lines per checkpoint; keep
+    # the training log at the reference's signal level (metric/epoch lines)
+    logging.getLogger("absl").setLevel(logging.WARNING)
+    for name in ("orbax", "orbax.checkpoint"):
+        logging.getLogger(name).setLevel(logging.WARNING)
 
 
 class RunningAverage:
