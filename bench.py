@@ -66,8 +66,9 @@ def main(mode: str = "pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    cfg = dataset_preset("WN18RR" if mode != "fb15k" else "FB15k-237",
-                         batch_size=batch)
+    cfg = dataset_preset(
+        "FB15k-237" if mode.startswith("fb15k") else "WN18RR",
+        batch_size=batch)
     if mode == "reference":
         cfg = cfg.replace(agg_schedule="reference")
     elif mode in ("pallas", "fb15k", "eval"):

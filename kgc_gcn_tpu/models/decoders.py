@@ -97,8 +97,16 @@ def _conv2d_c1_im2col(x: jax.Array, w: jax.Array, compute_dtype: str) -> jax.Arr
     cols = jnp.stack(
         [xs[:, i:i + oh, j:j + ow] for i in range(k) for j in range(k)],
         axis=-1)                                       # (B, OH, OW, K*K)
-    patches = cols.reshape(b * oh * ow, k * k)
-    wmat = w.reshape(f, k * k).T                       # (K*K, F)
+    return _patches_matmul(cols.reshape(b * oh * ow, k * k), w,
+                           (b, oh, ow), compute_dtype)
+
+
+def _patches_matmul(patches, w, bohow, compute_dtype):
+    """(B*OH*OW, K*K) patches @ (K*K, F) filters → NCHW output (shared tail
+    of the im2col and conv_general_dilated_patches lowerings)."""
+    b, oh, ow = bohow
+    f = w.shape[0]
+    wmat = w.reshape(f, -1).T                          # (K*K, F)
     out = mm(patches, wmat, compute_dtype)             # (B*OH*OW, F)
     return out.reshape(b, oh, ow, f).transpose(0, 3, 1, 2)
 
@@ -133,14 +141,13 @@ def conve_query(
         # same im2col algebra with the patch extraction done by XLA's
         # conv_general_dilated_patches instead of 49 stacked slices
         b2, _, hh, ww = x.shape
-        f, _, kk, _ = params.conv_w.shape
+        kk = params.conv_w.shape[2]
         oh, ow = hh - kk + 1, ww - kk + 1
         p = jax.lax.conv_general_dilated_patches(
             x, (kk, kk), (1, 1), "VALID")              # (B, k*k, OH, OW)
-        patches = p.transpose(0, 2, 3, 1).reshape(b2 * oh * ow, kk * kk)
-        wmat = params.conv_w.reshape(f, kk * kk).T
-        x = mm(patches, wmat, cfg.compute_dtype) \
-            .reshape(b2, oh, ow, f).transpose(0, 3, 1, 2)
+        x = _patches_matmul(
+            p.transpose(0, 2, 3, 1).reshape(b2 * oh * ow, kk * kk),
+            params.conv_w, (b2, oh, ow), cfg.compute_dtype)
     else:
         conv_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                       else params.conv_w.dtype)

@@ -518,7 +518,7 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
     the Pallas CSR kernel instead (XLA scatter as last resort).
     """
     e = vals.shape[0]
-    if n_seg * e > ONEHOT_LIMIT:   # one-hot bigger than ~128 MB in bf16
+    if n_seg * e > ONEHOT_LIMIT:   # one-hot exceeds the element budget
         if rdata is None:
             return jax.ops.segment_sum(vals, ids, num_segments=n_seg)
         rperm, r_indptr, r_rel = rdata

@@ -135,8 +135,15 @@ def _promote_pending() -> None:
     tmp, final = _PENDING
     _PENDING = None
     if os.path.isdir(tmp):
-        shutil.rmtree(final, ignore_errors=True)
+        # rename-aside so one loadable checkpoint exists at every instant:
+        # old -> .old, tmp -> final, then drop .old (a crash between the two
+        # renames leaves the previous save recoverable at .old)
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.replace(final, old)
         os.replace(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def save_checkpoint_async(ckpt_dir: str, tree: Any, measure: float) -> str:

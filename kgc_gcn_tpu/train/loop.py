@@ -243,23 +243,26 @@ def train_and_evaluate(
                       n_chips=trainer.mesh.size if trainer.mesh else 1)
 
     logging.info("Starting training for %d epoch(s)", cfg.max_epoch)
+    import contextlib
     for epoch in range(1, cfg.max_epoch + 1):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        if profile_dir and epoch == profile_epoch:
+        profiled = bool(profile_dir) and epoch == profile_epoch
+        if profiled:
             # trace one post-compile epoch (epoch 1 is compile-dominated);
             # view with xprof/TensorBoard or scripts/trace_step.py's parser
             from kgc_gcn_tpu.utils.profiling import trace
-            with trace(profile_dir):
-                params, state, opt_state, loss = trainer.train_epoch(
-                    params, state, opt_state, epoch, host_rng, sub)
-            logging.info("Captured device trace of epoch %d -> %s",
-                         epoch, profile_dir)
+            ctx = trace(profile_dir)
         else:
+            ctx = contextlib.nullcontext()
+        with ctx:
             params, state, opt_state, loss = trainer.train_epoch(
                 params, state, opt_state, epoch, host_rng, sub)
+        if profiled:
+            logging.info("Captured device trace of epoch %d -> %s",
+                         epoch, profile_dir)
         dt = time.perf_counter() - t0    # train only (train_epoch host-syncs)
-        if epoch > 1:                    # epoch 1 is compile-dominated
+        if epoch > 1 and not profiled:   # exclude compile + trace-dump epochs
             timer.add(dt, steps_per_epoch)
         logging.info("Epoch %d/%d  loss=%07.5f  (%.2fs%s)",
                      epoch, cfg.max_epoch, loss, dt,

@@ -41,9 +41,11 @@ def build(overrides):
     graph = build_graph(tri, n_ent, n_rel)
     kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse")
     kw.update(overrides)
-    if "onehot_limit" in kw:   # module knob, not a Config field
-        import kgc_gcn_tpu.ops.spmm_pallas as sp
-        sp.ONEHOT_LIMIT = int(kw.pop("onehot_limit"))
+    # module knob, not a Config field — RESET it for every variant (a value
+    # set by one variant must not leak into the next; see BENCH_NOTES)
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    sp.ONEHOT_LIMIT = int(kw.pop(
+        "onehot_limit", os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024)))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

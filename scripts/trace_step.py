@@ -43,7 +43,8 @@ def main(mode="pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    cfg = dataset_preset("WN18RR", batch_size=batch)
+    cfg = dataset_preset("FB15k-237" if mode == "fb15k" else "WN18RR",
+                         batch_size=batch)
     if mode in ("pallas", "fb15k"):
         cfg = cfg.replace(use_pallas=True)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)

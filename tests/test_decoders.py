@@ -104,7 +104,6 @@ def test_train_step_smoke(decoder, toy, toy_cfg):
 
 def test_conv_impls_agree():
     """All three ConvE convolution lowerings produce the same logits."""
-    import dataclasses
     from kgc_gcn_tpu.models.decoders import conve_init, conve_apply
 
     outs = []
