@@ -214,8 +214,8 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
 
         # the zero accumulator must be marked device-varying over the ring
         # axis or the carry types disagree (shard_map vma tracking)
-        acc0 = jax.lax.pvary(jnp.zeros((n_pad, d), x_local.dtype),
-                             (GRAPH_AXIS,))
+        acc0 = jax.lax.pcast(jnp.zeros((n_pad, d), x_local.dtype),
+                             (GRAPH_AXIS,), to="varying")
         _, acc = jax.lax.fori_loop(0, g_size, body, (x_local, acc0))
         return jax.lax.psum_scatter(
             acc, GRAPH_AXIS, scatter_dimension=0, tiled=True)

@@ -94,14 +94,29 @@ class Predictor:
 
     # ------------------------------------------------------------ name-level
 
+    def ent_id(self, name: str) -> int:
+        try:
+            return self.entity2id[name.lower()]
+        except KeyError:
+            raise KeyError(f"unknown entity {name!r} (vocab has "
+                           f"{len(self.entity2id)} entities)") from None
+
+    def rel_id(self, name: str) -> int:
+        try:
+            return self.relation2id[name.lower()]
+        except KeyError:
+            raise KeyError(
+                f"unknown relation {name!r} (vocab: "
+                f"{sorted(self.relation2id)[:10]}...)") from None
+
     def query_names(self, subject: str, relation: str, k: int = 10,
                     head: bool = False) -> List[Dict]:
         """Top-k object (or subject, ``head=True``) names for a name query.
 
         Head prediction uses the reverse-relation id ``r + R`` exactly as the
         eval pipeline does (reference data_loader.py:104-110)."""
-        s = self.entity2id[subject.lower()]
-        r = self.relation2id[relation.lower()]
+        s = self.ent_id(subject)
+        r = self.rel_id(relation)
         if head:
             r += self.graph.n_rel
         scores, idx = self.top_k(np.array([s]), np.array([r]), k)
@@ -133,8 +148,8 @@ def serve_file(predictor: Predictor, path: str, k: int = 10,
     if not queries:
         return []
 
-    src = np.array([predictor.entity2id[s] for s, _ in queries], np.int32)
-    rel = np.array([predictor.relation2id[r] for _, r in queries], np.int32)
+    src = np.array([predictor.ent_id(s) for s, _ in queries], np.int32)
+    rel = np.array([predictor.rel_id(r) for _, r in queries], np.int32)
     out = []
     for lo in range(0, len(queries), batch_size):
         s_b, r_b = src[lo:lo + batch_size], rel[lo:lo + batch_size]
