@@ -92,6 +92,25 @@ class Predictor:
             train=False)
         return np.asarray(logits[jnp.arange(len(src)), jnp.asarray(obj)])
 
+    def export_tables(self, path: str) -> str:
+        """Write the encoded entity/relation tables (+ vocab) to ``path`` as
+        an .npz — the deployable artifact for downstream retrieval systems
+        that only need embeddings, not the encoder."""
+        ents = np.empty(len(self.entity2id), dtype=object)
+        for name, i in self.entity2id.items():
+            ents[i] = name
+        rels = np.empty(len(self.relation2id), dtype=object)
+        for name, i in self.relation2id.items():
+            rels[i] = name
+        np.savez(
+            path,
+            entity_embeddings=np.asarray(self.all_ent),
+            relation_embeddings=np.asarray(self.all_rel),
+            entity_bias=np.asarray(self.params.decoder.ent_bias)
+            if hasattr(self.params.decoder, "ent_bias") else np.zeros(0),
+            entity_names=ents, relation_names=rels)
+        return path
+
     # ------------------------------------------------------------ name-level
 
     def ent_id(self, name: str) -> int:

@@ -89,3 +89,16 @@ def test_serve_file_batched_matches_per_query(predictor, tmp_path):
         rec = json.loads(line)
         want = pred.query_names(rec["subject"], rec["relation"], k=2)
         assert [e["entity"] for e in rec["topk"]] == [e["entity"] for e in want]
+
+
+def test_export_tables(predictor, tmp_path):
+    ds, model, params, state, pred = predictor
+    out = pred.export_tables(str(tmp_path / "tables.npz"))
+    data = np.load(out, allow_pickle=True)
+    assert data["entity_embeddings"].shape[0] == ds.num_entity
+    assert data["relation_embeddings"].shape[0] == 2 * ds.num_relation
+    assert len(data["entity_names"]) == ds.num_entity
+    name0 = data["entity_names"][0]
+    assert ds.entity2id[name0] == 0
+    np.testing.assert_allclose(data["entity_embeddings"],
+                               np.asarray(pred.all_ent))
