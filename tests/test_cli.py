@@ -1,0 +1,55 @@
+"""CLI integration: the real argv surface end-to-end in-process on CPU
+(train -> restore+test -> restore+predict), using the Toy fixture written
+to a temp data dir."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliwork")
+    from kgc_gcn_tpu.data.toy import write_toy
+    write_toy(str(root / "data"))
+    return root
+
+
+def _run(workdir, *argv):
+    from kgc_gcn_tpu.cli import main
+    args = list(argv) + [
+        "--data_dir", str(workdir / "data"),
+        "--experiments_dir", str(workdir / "experiments"),
+        "--num_filter", "2", "--gcn_in_dim", "8", "--gcn_out_dim", "32",
+        "--k_w", "4", "--k_h", "8", "--kernel_size", "3",
+    ]
+    return main(args)
+
+
+def test_cli_train_test_predict_roundtrip(workdir, capsys):
+    assert _run(workdir, "--dataset", "Toy", "--do_train",
+                "--max_epoch", "2", "--eval_every", "1",
+                "--ckpt_every", "1") == 0
+    exp = workdir / "experiments" / "Toy"
+    assert (exp / "last.ckpt").exists()
+    assert (exp / "periodic.orbax").is_dir()
+    assert (exp / "params.json").exists()
+    cfg = json.load(open(exp / "params.json"))
+    assert cfg["max_epoch"] == 2          # params.json records effective cfg
+
+    assert _run(workdir, "--dataset", "Toy", "--do_test",
+                "--restore_dir", str(exp)) == 0
+
+    qf = workdir / "queries.txt"
+    qf.write_text("e1\tr1\ne0\tr0\n")
+    capsys.readouterr()                   # drop earlier output
+    assert _run(workdir, "--dataset", "Toy", "--do_predict",
+                "--restore_dir", str(exp),
+                "--predict_file", str(qf), "--top_k", "3") == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    assert len(out) == 2
+    rec = json.loads(out[0])
+    assert rec["subject"] == "e1" and len(rec["topk"]) == 3
