@@ -139,6 +139,22 @@ def config_from_args(args: argparse.Namespace) -> Config:
         if val != getattr(defaults, field):
             overrides[field] = val
     overrides["scan_epoch"] = not args.no_scan_epoch
+
+    # restoring a checkpoint: adopt the MODEL-SHAPE fields recorded in the
+    # run's params.json unless the user passed them explicitly — repeating
+    # every architecture flag on --do_test/--do_predict is a silent-shape-
+    # mismatch trap (the reference requires the flags to be repeated)
+    if args.restore_dir:
+        run_record = os.path.join(args.restore_dir, "params.json")
+        if os.path.exists(run_record):
+            saved = Config.from_json(run_record)
+            shape_fields = (
+                "model decoder num_layers num_bases num_blocks composition "
+                "bias gcn_in_dim gcn_out_dim k_w k_h num_filter kernel_size"
+            ).split()
+            for field in shape_fields:
+                if field not in overrides:   # explicit flags still win
+                    overrides[field] = getattr(saved, field)
     return cfg.replace(**overrides)
 
 

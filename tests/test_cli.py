@@ -53,3 +53,24 @@ def test_cli_train_test_predict_roundtrip(workdir, capsys):
     assert len(out) == 2
     rec = json.loads(out[0])
     assert rec["subject"] == "e1" and len(rec["topk"]) == 3
+
+
+def test_restore_adopts_model_shape_from_run_record(workdir):
+    """--restore_dir picks the architecture flags up from the run's
+    params.json so do_test/do_predict need not repeat them (explicit flags
+    still win)."""
+    from kgc_gcn_tpu.cli import build_parser, config_from_args
+
+    exp = workdir / "experiments" / "Toy"   # written by the roundtrip test
+    args = build_parser().parse_args(
+        ["--dataset", "Toy", "--do_test", "--restore_dir", str(exp)])
+    cfg = config_from_args(args)
+    assert cfg.num_filter == 2 and cfg.gcn_in_dim == 8
+    assert cfg.gcn_out_dim == 32 and cfg.kernel_size == 3
+
+    args = build_parser().parse_args(
+        ["--dataset", "Toy", "--do_test", "--restore_dir", str(exp),
+         "--num_filter", "7"])
+    cfg = config_from_args(args)
+    assert cfg.num_filter == 7              # explicit flag beats the record
+    assert cfg.gcn_in_dim == 8
