@@ -62,7 +62,8 @@ def test_reference_norm_formula():
     col = np.array([1, 2, 2])
     norm = _reference_norm(row, col, 3)
     deg = np.array([2.0, 1.0, 0.0])
-    dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
     np.testing.assert_allclose(norm, dinv[row] * dinv[col], rtol=1e-6)
 
 
