@@ -176,17 +176,38 @@ def main(argv=None) -> int:
     graph = build_graph(ds.train_triples, ds.num_entity, ds.num_relation)
     banks = make_banks(ds)
 
+    # multi-chip: build the (data x graph) mesh and edge-partition the graph
+    # BEFORE any device arrays are created (the reference's one parallelism
+    # knob is --multi_gpu -> DataParallel, main.py:213-214; here both axes are
+    # first-class: batch sharding over `data`, edge partitioning over `graph`)
+    mesh = None
+    if cfg.data_axis * cfg.graph_axis > 1:
+        from kgc_gcn_tpu.parallel.mesh import make_mesh, shard_graph
+        mesh = make_mesh(cfg.data_axis, cfg.graph_axis)
+        if cfg.batch_size % cfg.data_axis:
+            raise ValueError(
+                f"data_axis={cfg.data_axis} must divide "
+                f"batch_size={cfg.batch_size}")
+        if graph.e_pad % cfg.graph_axis:
+            raise ValueError(
+                f"graph_axis={cfg.graph_axis} must divide the padded edge "
+                f"count {graph.e_pad} (powers of two up to "
+                f"{graph.e_pad} always do)")
+        graph = shard_graph(graph, mesh)
+        logging.info("mesh: data=%d x graph=%d over %d device(s)",
+                     cfg.data_axis, cfg.graph_axis, mesh.size)
+
     model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
-                        e_pad=graph.e_pad)
+                        e_pad=graph.e_pad, mesh=mesh)
     params, state = model.init(jax.random.PRNGKey(cfg.seed % 2**32))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
     if cfg.train_mode == "negative_sampling":
         from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
-        trainer = NegativeSamplingTrainer(cfg, model, graph, banks)
+        trainer = NegativeSamplingTrainer(cfg, model, graph, banks, mesh=mesh)
     else:
-        trainer = Trainer(cfg, model, graph, banks)
+        trainer = Trainer(cfg, model, graph, banks, mesh=mesh)
 
     best = 0.0
     if cfg.restore_torch is not None:
@@ -208,6 +229,15 @@ def main(argv=None) -> int:
         params, state, opt_state = tree["params"], tree["state"], tree["opt_state"]
         logging.info("Restored model from %s with best measure: %s",
                      cfg.restore_dir, best)
+
+    if mesh is not None:
+        # place params/state/opt on the mesh AFTER any restore (restored
+        # leaves arrive as host arrays): per-edge tables shard row-aligned
+        # with the edge partition, everything else replicates
+        from kgc_gcn_tpu.parallel.mesh import shard_params
+        params = shard_params(params, mesh)
+        state = shard_params(state, mesh)
+        opt_state = shard_params(opt_state, mesh)
 
     if cfg.do_train and cfg.do_test:
         raise ValueError("Can not perform training and testing at one time")

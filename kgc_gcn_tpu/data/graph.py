@@ -161,9 +161,11 @@ def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
     e_pad = padded_edge_count(e, pad_to)
     pad = e_pad - e
     if pad:
-        # zero-norm padding: contributes nothing to the segment sum; padding
-        # eid is OUT OF RANGE (= 2E) so table gathers clip to a 0-norm no-op
-        # and the eid values stay duplicate-free
+        # zero-norm padding: contributes nothing to the segment sum.  Padding
+        # eid is the sentinel 2E — compute never gathers by eid (the per-edge
+        # table is stored positionally, models/mgcn.py); the sentinel just
+        # keeps eid values duplicate-free for the import/export mappings
+        # (edge_table_{to,from}_reference_order skip rows >= e_real anyway)
         src = np.concatenate([src, np.zeros(pad, src.dtype)])
         dst = np.concatenate([dst, np.full(pad, n_ent - 1, dst.dtype)])
         rel = np.concatenate([rel, np.zeros(pad, rel.dtype)])

@@ -4,15 +4,21 @@ from kgc_gcn_tpu.models.rgcn import RGCN
 __all__ = ["MGCN", "RGCN", "build_model"]
 
 
-def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None):
+def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
+                mesh=None):
     """Model-family factory (``cfg.model``: mgcn | rgcn).
 
     ``e_pad`` must equal the Graph's padded per-half edge count when the graph
     was built with a non-default ``pad_to`` (the MGCN edge-embedding table is
     stored in the graph's positional edge order; see models/mgcn.py).
+    ``mesh`` (a jax.sharding.Mesh with (data, graph) axes) is required when
+    ``cfg.entity_sharded != 'none'`` — the encoder then shards the entity
+    activations over the graph axis (parallel/entity_sharded.py).
     """
     if cfg.model == "mgcn":
-        return MGCN(cfg, n_ent, n_rel, n_edge, e_pad)
+        return MGCN(cfg, n_ent, n_rel, n_edge, e_pad, mesh=mesh)
     if cfg.model == "rgcn":
+        if getattr(cfg, "entity_sharded", "none") != "none":
+            raise ValueError("entity_sharded is only supported with model=mgcn")
         return RGCN(cfg, n_ent, n_rel, n_edge)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -95,9 +95,10 @@ class MGCN:
     """Model family 'mgcn' — reference-parity encoder + pluggable decoder."""
 
     def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int,
-                 e_pad: Optional[int] = None):
+                 e_pad: Optional[int] = None, mesh=None):
         from kgc_gcn_tpu.data.graph import padded_edge_count
         self.cfg = cfg
+        self.mesh = mesh   # required for the entity-sharded encoder schedules
         self.n_ent = n_ent
         self.n_rel = n_rel
         self.n_edge = n_edge

@@ -106,9 +106,10 @@ def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
         m = msg_vmem[slot]
         d_ids = dst_vmem[slot]
         if msg_vmem.dtype == jnp.float32:
-            # full f32 accuracy in 2 MXU passes: the one-hot is exact in
-            # bf16, so split msg into hi/lo bf16 halves (the default MXU
-            # precision would round msg to bf16; HIGHEST would cost 9 passes)
+            # near-f32 accuracy (~2^-17 relative per element) in 2 MXU
+            # passes: the one-hot is exact in bf16, so split msg into hi/lo
+            # bf16 halves (the default MXU precision would round msg to bf16
+            # outright; HIGHEST would cost 9 passes)
             onehot_t = (rows == d_ids).astype(jnp.bfloat16)
             hi = m.astype(jnp.bfloat16)
             lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -331,7 +332,8 @@ def rel_rows_onehot(rel_all: jax.Array, rel: jax.Array) -> jax.Array:
     gathering from the 40943-row entity table).  ``onehot(rel) @ rel_all`` is
     write-bandwidth-bound MXU work instead.  The one-hot is exact in bf16 and
     each output row is a single-term sum, so the hi/lo bf16 split reproduces
-    f32 rows to ~2^-24 relative (the kernel precision model used throughout).
+    f32 rows to ~2^-17 relative (hi carries 8 mantissa bits, lo another 8 of
+    the residual — NOT full f32; the parity tests bound the end-to-end effect).
     Falls back to the gather for large vocabularies (FB15k-scale).
     """
     n_rel = rel_all.shape[0]
@@ -511,8 +513,8 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
     XLA lowers the scatter mostly serially (~0.6 ms per half per step at
     WN18RR scale, 25% of the whole backward); with few segments the sum is a
     ``onehot(ids)ᵀ @ vals`` MXU matmul instead.  The one-hot is exact in bf16,
-    so splitting ``vals`` into hi/lo bf16 halves keeps full f32 accuracy in two
-    MXU passes (same trick as the forward kernel).  When the one-hot would be
+    so splitting ``vals`` into hi/lo bf16 halves keeps ~2^-17 relative accuracy
+    in two MXU passes (same precision model as the forward kernel).  When the one-hot would be
     large (many relations, e.g. FB15k-237), the precomputed rel-sorted
     permutation ``rdata = (rperm, r_indptr, r_rel)`` routes the sum through
     the Pallas CSR kernel instead (XLA scatter as last resort).

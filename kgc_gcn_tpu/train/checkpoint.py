@@ -80,6 +80,7 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
     ``template`` supplies the pytree structure (e.g. from ``model.init`` +
     ``optimizer.init``); leaf count and shapes must match.
     """
+    path = os.path.normpath(path)   # 'run/last.orbax/' must still match below
     if os.path.isdir(path) and not path.endswith(".orbax"):
         orbax_path = os.path.join(path, ORBAX_DIR)
         path = orbax_path if os.path.isdir(orbax_path) \

@@ -82,6 +82,14 @@ class Trainer:
             from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
             if (not hasattr(model, "query_and_bias")
                     or cfg.decoder not in QUERY_TRUNKS):
+                if cfg.loss_impl != "auto":
+                    # the user asked for sparse/fused explicitly (e.g. to avoid
+                    # the (B, N) logits matrix) — make the fallback visible
+                    logging.warning(
+                        "loss_impl=%s requires a decoder with an "
+                        "h @ all_ent.T + bias query trunk; decoder=%s has "
+                        "none — falling back to the dense (B, N) loss",
+                        cfg.loss_impl, cfg.decoder)
                 impl = "dense"   # decoder without an h @ all_ent.T + bias form
         return impl
 
@@ -157,7 +165,14 @@ class Trainer:
         bank = self.banks["train"]
         lr = jnp.float32(epoch_lr(cfg, epoch))
         idx, mask = epoch_batches(bank.n_queries, cfg.batch_size, host_rng)
-        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        if self.mesh is not None:
+            # shard the (steps, B) plan over the data axis so every step's
+            # batch is split across data-parallel devices up front
+            from kgc_gcn_tpu.parallel.mesh import shard_batches
+            idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
+                                      jnp.asarray(mask))
+        else:
+            idx, mask = jnp.asarray(idx), jnp.asarray(mask)
 
         if cfg.scan_epoch:
             params, state, opt_state, loss = self._train_epoch_jit(

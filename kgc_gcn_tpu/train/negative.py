@@ -99,7 +99,13 @@ class NegativeSamplingTrainer(Trainer):
         lr = jnp.float32(epoch_lr(self.cfg, epoch))
         n_pos = int(self.pos_triples.shape[0])
         idx, mask = epoch_batches(n_pos, self.cfg.batch_size, host_rng)
+        if self.mesh is not None:
+            from kgc_gcn_tpu.parallel.mesh import shard_batches
+            idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
+                                      jnp.asarray(mask))
+        else:
+            idx, mask = jnp.asarray(idx), jnp.asarray(mask)
         params, state, opt_state, loss = self._neg_epoch_jit(
             params, state, opt_state, self.graph, self.pos_triples, rng_key, lr,
-            jnp.asarray(idx), jnp.asarray(mask))
+            idx, mask)
         return params, state, opt_state, float(loss)

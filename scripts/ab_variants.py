@@ -41,6 +41,21 @@ def build(overrides):
     graph = build_graph(tri, n_ent, n_rel)
     kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse")
     kw.update(overrides)
+    # CLI override values arrive as strings — coerce to the Config field's
+    # declared type (a str-typed batch_size would break tracing mid-session)
+    import dataclasses
+    from kgc_gcn_tpu.config import Config
+    field_types = {f.name: f.type for f in dataclasses.fields(Config)}
+    for k, v in list(kw.items()):
+        if not isinstance(v, str) or k not in field_types:
+            continue
+        t = field_types[k]
+        if t == "bool" or t is bool:
+            kw[k] = v.lower() in ("1", "true", "yes")
+        elif t == "int" or t is int:
+            kw[k] = int(v)
+        elif t == "float" or t is float:
+            kw[k] = float(v)
     # module knob, not a Config field — RESET it for every variant (a value
     # set by one variant must not leak into the next; see BENCH_NOTES)
     import kgc_gcn_tpu.ops.spmm_pallas as sp

@@ -74,3 +74,21 @@ def test_restore_adopts_model_shape_from_run_record(workdir):
     cfg = config_from_args(args)
     assert cfg.num_filter == 7              # explicit flag beats the record
     assert cfg.gcn_in_dim == 8
+
+
+def test_cli_trains_on_mesh(workdir):
+    """--data_axis/--graph_axis build the mesh, shard graph+params+batches and
+    train end-to-end on the 8-device CPU mesh from one command (the usable
+    multi-chip path; the reference's counterpart is --multi_gpu ->
+    DataParallel, main.py:213-214)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    assert _run(workdir, "--dataset", "Toy", "--do_train",
+                "--max_epoch", "2", "--eval_every", "1",
+                "--batch_size", "4",
+                "--data_axis", "2", "--graph_axis", "4") == 0
+    exp = workdir / "experiments" / "Toy"
+    assert (exp / "last.ckpt").exists()   # trained + saved on improvement
+    cfg = json.load(open(exp / "params.json"))
+    assert cfg["data_axis"] == 2 and cfg["graph_axis"] == 4

@@ -223,6 +223,36 @@ def test_ring_aggregate_matches_single_device(toy, eight_devices):
                 rtol=1e-5, atol=1e-5, err_msg=half_name)
 
 
+def test_scan_epoch_under_mesh_matches_single_device(toy, toy_cfg,
+                                                     eight_devices):
+    """The PRODUCTION path — Trainer.train_epoch's whole-epoch lax.scan — on
+    the 2x4 mesh equals the single-device epoch (same key -> same dropout
+    masks; only collective float reassociation differs)."""
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = t1.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(7),
+        jax.random.PRNGKey(5))
+
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        t2 = Trainer(cfg, model, gs, banks, mesh=mesh)
+        p2, s2, o2, l2 = t2.train_epoch(
+            ps, ss, os_, 1, np.random.default_rng(7), jax.random.PRNGKey(5))
+
+    assert abs(l1 - l2) < 5e-3, (l1, l2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
 def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
     """Filtered-rank evaluation under the (data x graph) mesh == single-device
     metrics (eval is deterministic, so equality is exact up to float sums)."""
