@@ -42,6 +42,21 @@ BASELINE_EDGES_PER_S = 12.6e6
 
 
 def main(mode: str = "pallas"):
+    if mode == "multichip":
+        # edge-partitioning scaling-efficiency harness: runs in a SUBPROCESS
+        # so it can claim a multi-device mesh (8 virtual CPU devices on this
+        # machine; real chips on a pod via KGC_SCALE_PLATFORM=native) without
+        # touching this process's already-initialized backend
+        import subprocess
+        import sys as _sys
+        out = subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "scaling_bench.py")],
+            capture_output=True, text=True, check=True)
+        print(out.stdout.strip().splitlines()[-1])
+        return
+
     import jax
     import jax.numpy as jnp
     from kgc_gcn_tpu.config import dataset_preset
