@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--data_axis", default=1, type=int)
     p.add_argument("--graph_axis", default=1, type=int)
+    p.add_argument("--entity_sharded", default="none",
+                   choices=["none", "gather", "ring"],
+                   help="also shard the entity activations over the graph "
+                        "axis (all_gather+psum_scatter or ppermute-ring "
+                        "schedule; needs --graph_axis > 1)")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--experiments_dir", default="experiments")
     return p
@@ -131,8 +136,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "num_bases num_blocks composition train_mode num_negatives "
         "edge_sample_size "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
-        "rel_compose eval_batch_size data_axis graph_axis data_dir "
-        "experiments_dir"
+        "rel_compose eval_batch_size data_axis graph_axis entity_sharded "
+        "data_dir experiments_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not
@@ -181,6 +186,8 @@ def main(argv=None) -> int:
     # knob is --multi_gpu -> DataParallel, main.py:213-214; here both axes are
     # first-class: batch sharding over `data`, edge partitioning over `graph`)
     mesh = None
+    if cfg.entity_sharded != "none" and cfg.graph_axis < 2:
+        raise ValueError("--entity_sharded needs --graph_axis > 1")
     if cfg.data_axis * cfg.graph_axis > 1:
         from kgc_gcn_tpu.parallel.mesh import make_mesh, shard_graph
         mesh = make_mesh(cfg.data_axis, cfg.graph_axis)

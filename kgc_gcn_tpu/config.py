@@ -140,6 +140,24 @@ class Config:
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding
     graph_axis: int = 1              # mesh: edge partitioning
+    entity_sharded: str = "none"     # none | gather | ring — shard the
+                                     # ENTITY activations over the graph axis
+                                     # too (the graph analog of context/
+                                     # sequence parallelism, SURVEY.md §5.7):
+                                     # per-direction aggregation runs under
+                                     # shard_map with each device holding
+                                     # 1/G of the entity rows; `gather`
+                                     # assembles sources with one all_gather
+                                     # + psum_scatter, `ring` ppermutes one
+                                     # (N/G, d) shard around the ring with
+                                     # compute/transfer overlap
+                                     # (parallel/edge_parallel.py).  Requires
+                                     # graph_axis > 1, model=mgcn,
+                                     # num_layers=1, composition=mult,
+                                     # use_pallas=False.  BatchNorm stays
+                                     # exact: activations stay row-sharded
+                                     # through BN and XLA inserts the
+                                     # cross-shard moment reductions.
 
     # ---- bookkeeping ----
     do_train: bool = False

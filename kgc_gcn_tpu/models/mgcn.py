@@ -118,6 +118,27 @@ class MGCN:
                 "aggregation path (use_pallas=False, edge_sample_size=0, "
                 "agg_schedule='fused'); the Pallas kernels and the reference "
                 "bench schedule compose multiplicatively")
+        if cfg.entity_sharded != "none":
+            if mesh is None:
+                raise ValueError(
+                    "entity_sharded needs a (data, graph) mesh — build it "
+                    "with parallel.mesh.make_mesh and pass mesh= (the CLI "
+                    "does this from --graph_axis)")
+            unsupported = [
+                ("num_layers", cfg.num_layers != 1),
+                ("use_pallas", cfg.use_pallas),
+                ("edge_sample_size", cfg.edge_sample_size > 0),
+                ("composition", cfg.composition != "mult"),
+                ("agg_schedule", cfg.agg_schedule != "fused"),
+            ]
+            bad = [k for k, v in unsupported if v]
+            if bad:
+                raise ValueError(
+                    f"entity_sharded={cfg.entity_sharded!r} supports the "
+                    "single-layer mult XLA schedule only; incompatible "
+                    f"flags: {bad}")
+        self._es_agg = None          # built by prepare_entity_sharding
+        self._es_blocks = None
 
     # ------------------------------------------------------------------ init
 
@@ -228,6 +249,11 @@ class MGCN:
             in_res = mm(in_agg, jnp.pad(c.in_weight, wpad), cfg.compute_dtype)
             out_res = mm(out_agg, jnp.pad(c.out_weight, wpad),
                          cfg.compute_dtype)
+        elif cfg.entity_sharded != "none":
+            in_agg, out_agg = self._agg_entity_sharded(
+                x, rel_all, params.edge_embeddings, graph)
+            in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
+            out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.agg_schedule == "reference":
             from kgc_gcn_tpu.ops.scatter import aggregate_half_reference_schedule
             in_res = aggregate_half_reference_schedule(
@@ -287,6 +313,70 @@ class MGCN:
         # BOTH the src gather and the all-entity scoring matmul
         all_ent = dropout(all_ent, cfg.gcn_drop, rngs.get("gcn"), train)
         return all_ent, all_rel, (bn_state, tuple(extra_bns))
+
+    # -------------------------------------------- entity-sharded aggregation
+
+    def prepare_entity_sharding(self, graph: Graph) -> None:
+        """Host-side setup for ``cfg.entity_sharded`` (must run OUTSIDE jit:
+        the ring schedule's per-device block metadata is computed on the host
+        from the static edge structure).  Idempotent; the Trainer calls it."""
+        cfg = self.cfg
+        if cfg.entity_sharded == "none" or self._es_agg is not None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.edge_parallel import (
+            build_ring_blocks, make_entity_sharded_aggregate,
+            make_ring_aggregate)
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        g = self.mesh.shape[GRAPH_AXIS]
+        if g < 2:
+            raise ValueError("entity_sharded needs a graph axis > 1")
+        if cfg.entity_sharded == "ring":
+            agg = make_ring_aggregate(self.mesh, self.n_ent)
+            row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+            blocks = {}
+            for name in ("inb", "outb"):
+                b, m = build_ring_blocks(getattr(graph, name), g, agg.n_pad)
+                blocks[name] = (jax.device_put(b, row),
+                                jax.device_put(m, row))
+            self._es_blocks = blocks
+        else:
+            agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
+        self._es_agg = agg
+
+    def _agg_entity_sharded(self, x, rel_all, et_full, graph: Graph):
+        """Per-half aggregation with the ENTITY activations row-sharded over
+        the graph axis (the graph analog of context parallelism, SURVEY.md
+        §5.7): x is padded to the axis-divisible row count, constrained to
+        ``P(graph)`` row sharding, aggregated under shard_map (all_gather +
+        psum_scatter, or the ppermute ring), and sliced back — downstream
+        combine/BN/tanh stay row-sharded with XLA inserting the cross-shard
+        BN moment reductions (the §7 'hard part')."""
+        if self._es_agg is None:
+            raise RuntimeError(
+                "call prepare_entity_sharding(graph) before encode "
+                "(the Trainer does this automatically)")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        n_pad = self._es_agg.n_pad
+        xp = jnp.pad(x, ((0, n_pad - self.n_ent), (0, 0)))
+        xp = jax.lax.with_sharding_constraint(xp, row)
+        if self.cfg.entity_sharded == "ring":
+            b_in, m_in = self._es_blocks["inb"]
+            b_out, m_out = self._es_blocks["outb"]
+            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb,
+                                  b_in, m_in)
+            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
+                                   b_out, m_out)
+        else:
+            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb)
+            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb)
+        # slice the padding rows off BEFORE BatchNorm: the moments must be
+        # over exactly the N real entities, matching single-device numerics
+        return in_agg[: self.n_ent], out_agg[: self.n_ent]
 
     def _agg_halves(self, x, rel_all, et_full, graph: Graph):
         """Per-half relational aggregation of a full (2, E_pad, d) edge table

@@ -197,7 +197,10 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
         i = jax.lax.axis_index(GRAPH_AXIS)
         d = x_local.shape[1]
 
-        def body(t, carry):
+        # lax.scan (NOT fori_loop) so the schedule is reverse-differentiable:
+        # training gradients flow back through the ring (ppermute transposes
+        # to the inverted permutation, psum_scatter to all_gather)
+        def step(carry, t):
             x_buf, acc = carry
             s = jax.lax.rem(i - t + g_size, g_size)  # shard currently held
             idx = jnp.take(blocks, s, axis=0)        # (B,) local edge ids
@@ -210,13 +213,14 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
                 msg, jnp.take(dst, idx), num_segments=n_pad,
                 indices_are_sorted=True)
             x_buf = jax.lax.ppermute(x_buf, GRAPH_AXIS, ring)
-            return x_buf, acc
+            return (x_buf, acc), None
 
         # the zero accumulator must be marked device-varying over the ring
         # axis or the carry types disagree (shard_map vma tracking)
         acc0 = jax.lax.pcast(jnp.zeros((n_pad, d), x_local.dtype),
                              (GRAPH_AXIS,), to="varying")
-        _, acc = jax.lax.fori_loop(0, g_size, body, (x_local, acc0))
+        (_, acc), _ = jax.lax.scan(
+            step, (x_local, acc0), jnp.arange(g_size, dtype=jnp.int32))
         return jax.lax.psum_scatter(
             acc, GRAPH_AXIS, scatter_dimension=0, tiled=True)
 

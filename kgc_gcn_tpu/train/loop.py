@@ -59,6 +59,10 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.n_ent = graph.n_ent
         self.mesh = mesh  # set by kgc_gcn_tpu.parallel for sharded training
+        if (getattr(cfg, "entity_sharded", "none") != "none"
+                and hasattr(model, "prepare_entity_sharding")):
+            # host-side ring/gather schedule metadata (must happen outside jit)
+            model.prepare_entity_sharding(graph)
 
         self._train_epoch_jit = jax.jit(
             self._train_epoch, donate_argnums=(0, 1, 2))

@@ -92,3 +92,16 @@ def test_cli_trains_on_mesh(workdir):
     assert (exp / "last.ckpt").exists()   # trained + saved on improvement
     cfg = json.load(open(exp / "params.json"))
     assert cfg["data_axis"] == 2 and cfg["graph_axis"] == 4
+
+
+def test_cli_trains_entity_sharded(workdir):
+    """--entity_sharded ring trains end-to-end from one command (activations
+    row-sharded over the graph axis, ppermute-ring aggregation)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    assert _run(workdir, "--dataset", "Toy", "--do_train",
+                "--max_epoch", "1", "--eval_every", "1",
+                "--batch_size", "4",
+                "--data_axis", "2", "--graph_axis", "4",
+                "--entity_sharded", "ring") == 0

@@ -275,6 +275,70 @@ def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
         assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
 
 
+@pytest.mark.parametrize("schedule", ["gather", "ring"])
+def test_entity_sharded_train_step_matches_single_device(
+        toy, toy_cfg, eight_devices, schedule):
+    """PRODUCT-grade entity sharding: a full train step (fwd + loss + bwd +
+    clip + Adam) through cfg.entity_sharded == the single-device step —
+    selected purely by flags.  Covers the shard_map schedules' gradients
+    (ring: ppermute/scan transposes) AND BatchNorm statistics under the
+    sharded entity axis (the SURVEY §7 hard part)."""
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    batch = 8
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = _one_step(t1, params, state, opt_state, g,
+                               banks["train"], batch)
+
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    cfg2 = cfg.replace(entity_sharded=schedule, data_axis=2, graph_axis=4)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation,
+                         ds.num_edge, e_pad=g.e_pad, mesh=mesh)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        t2 = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+        p2, s2, o2, l2 = _one_step(
+            t2, ps, ss, os_, gs, banks["train"], batch,
+            put=lambda x: jax.device_put(x, bsp))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
+def test_entity_sharded_eval_matches_single_device(toy, toy_cfg,
+                                                   eight_devices):
+    """Filtered-rank evaluation through the entity-sharded encoder == the
+    single-device metrics."""
+    ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    host = jax.tree.map(np.asarray, (params, state))
+
+    t1 = Trainer(cfg, model, g, banks)
+    r1 = t1.evaluate(params, state, "valid")
+
+    params, state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=1, graph=8)
+    cfg2 = cfg.replace(entity_sharded="gather", graph_axis=8)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation,
+                         ds.num_edge, e_pad=g.e_pad, mesh=mesh)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        t2 = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+        r2 = t2.evaluate(ps, ss, "valid")
+    for k in r1:
+        assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
+
+
 def test_sharded_step_with_rbg_keys(toy, toy_cfg, eight_devices):
     """The default prng_impl=rbg (TPU hardware RNG) must also compile and run
     under the (data x graph) mesh — dropout keys flow through GSPMD."""
