@@ -155,7 +155,7 @@ def main(mode: str = "pallas"):
         p, s, o, loss = trainer._train_epoch_jit(
             p, s, o, graph, root_key(cfg, seed), lr,
             jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
-        return p, s, o, float(loss)   # host pull = true device sync
+        return p, s, o, float(loss.mean())   # host pull = true device sync
 
     p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
 

@@ -160,7 +160,7 @@ class Trainer:
 
         (params, state, opt_state, _), losses = jax.lax.scan(
             body, (params, state, opt_state, rng), (idx, mask))
-        return params, state, opt_state, jnp.mean(losses)
+        return params, state, opt_state, losses   # (steps,) per-step losses
 
     def train_epoch(self, params, state, opt_state, epoch: int,
                     host_rng: np.random.Generator, rng_key: jax.Array):
@@ -179,10 +179,10 @@ class Trainer:
             idx, mask = jnp.asarray(idx), jnp.asarray(mask)
 
         if cfg.scan_epoch:
-            params, state, opt_state, loss = self._train_epoch_jit(
+            params, state, opt_state, losses = self._train_epoch_jit(
                 params, state, opt_state, self.graph, rng_key, lr, idx, mask,
                 bank.queries, bank.label_idx)
-            return params, state, opt_state, float(loss)
+            return params, state, opt_state, float(jnp.mean(losses))
 
         losses = []
         key = rng_key

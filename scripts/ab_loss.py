@@ -54,7 +54,7 @@ def run(loss_impl: str, moment_dtype: str = "float32", reps: int = 3):
         p, s, o, loss = trainer._train_epoch_jit(
             p, s, o, graph, jax.random.PRNGKey(seed), lr,
             jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
-        return p, s, o, float(loss)
+        return p, s, o, float(loss.mean())
 
     p, s, o, _ = go(params, state, opt_state, 1)  # compile + warmup
     times, loss = [], 0.0

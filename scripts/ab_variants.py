@@ -84,7 +84,7 @@ def run(name, overrides, steps=50, reps=3):
         p, s, o, loss = trainer._train_epoch_jit(
             p, s, o, graph, root_key(trainer.cfg, seed), lr,
             jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
-        return p, s, o, float(loss)
+        return p, s, o, float(loss.mean())
 
     p, s, o, _ = go(p, s, o, 1)
     times, loss = [], 0.0

@@ -11,7 +11,17 @@ eval, checkpointing) can be driven end-to-end at production scale:
 
 Random triples carry no generalizable signal — validation metrics stay ~0 by
 construction; the soak validates throughput and pipeline stability, not
-accuracy (see tests/test_train.py for the learnability check).
+accuracy.  For an accuracy signal use the COMPOSITIONAL corpus instead:
+
+    python scripts/make_synth_corpus.py SYNC comp
+    python -m kgc_gcn_tpu.cli --dataset SYNC --do_train --decoder complex \
+        --learning_rate 0.01 --gcn_in_dim 16 --gcn_out_dim 32 \
+        --max_epoch 400 --eval_every 25
+
+whose held-out triples are implied by the train structure (ring rotations;
+kgc_gcn_tpu/data/toy.py compositional_triples) — val MRR >> chance is a real
+generalization gate (tests/test_generalization.py runs it in CI: the complex
+decoder reaches MRR 1.0 vs 0.042 chance).
 """
 
 import os
@@ -21,6 +31,15 @@ import numpy as np
 
 
 def main(name: str = "SYN", scale: str = "wn18rr", data_dir: str = "data"):
+    if scale == "comp":
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from kgc_gcn_tpu.data.toy import write_compositional
+        out = write_compositional(data_dir, name, n_ent=96, offsets=(1, 3, 7))
+        print(f"wrote {out}: compositional ring corpus "
+              f"(96 entities, 3 rotation relations, 30% of derived "
+              f"relations held out)")
+        return
     if scale == "fb15k":
         n_ent, n_rel, n_train = 14541, 237, 272115
     else:

@@ -73,7 +73,7 @@ def measure(graph_axis: int, graph, cfg, tri, n_ent, n_edge, steps, batch):
         p, s, o, loss = trainer._train_epoch_jit(
             p, s, o, graph, root_key(cfg, seed), lr,
             jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
-        return p, s, o, float(loss)   # host pull = device sync
+        return p, s, o, float(loss.mean())   # host pull = device sync
 
     p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
     times = []

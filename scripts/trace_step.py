@@ -65,7 +65,7 @@ def main(mode="pallas"):
         p, s, o, loss = trainer._train_epoch_jit(
             p, s, o, graph, root_key(cfg, seed), lr, idx, mask,
             bank.queries, bank.label_idx)
-        return p, s, o, float(loss)
+        return p, s, o, float(loss.mean())
 
     p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
 

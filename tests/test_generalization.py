@@ -1,0 +1,86 @@
+"""In-environment GENERALIZATION gate (SURVEY.md §6 stand-in).
+
+The real WN18RR corpus (reference accuracy target MRR >= 0.46, README.md:9)
+is not on this machine, and random synthetic triples carry no signal (val MRR
+~0 by construction).  This gate uses the compositional ring corpus
+(data/toy.py compositional_triples): relations are rotations of a ring of
+entities, train keeps all of the generator relation plus 70% of each derived
+relation, and the HELD-OUT derived triples are exactly implied by the train
+structure.  Chance MRR is ~2/N; a model that generalizes must rank the single
+true object near the top on queries it has never seen.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from kgc_gcn_tpu.config import dataset_preset
+from kgc_gcn_tpu.data.batching import make_banks
+from kgc_gcn_tpu.data.dataset import build_dataset
+from kgc_gcn_tpu.data.graph import build_graph
+from kgc_gcn_tpu.data.toy import compositional_triples
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.train.loop import Trainer
+from kgc_gcn_tpu.train.optim import make_optimizer
+
+N_ENT = 48
+CHANCE_MRR = 2.0 / N_ENT   # ~0.042 for uniform ranking of one true object
+
+
+@pytest.fixture(scope="module")
+def sync_corpus():
+    train, valid, test = compositional_triples(
+        n_ent=N_ENT, offsets=(1, 3), held_frac=0.3)
+    ds = build_dataset("sync", train, valid, test)
+    g = build_graph(ds.train_triples, ds.num_entity, ds.num_relation, pad_to=8)
+    return ds, g, make_banks(ds)
+
+
+def _train_best_val(ds, g, banks, cfg, max_epoch, eval_every=25,
+                    stop_at=None):
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg).init(params)
+    trainer = Trainer(cfg, model, g, banks)
+    rng = np.random.default_rng(0)
+    best = 0.0
+    for epoch in range(1, max_epoch + 1):
+        params, state, opt, _ = trainer.train_epoch(
+            params, state, opt, epoch, rng, jax.random.PRNGKey(epoch))
+        if epoch % eval_every == 0:
+            best = max(best, trainer.evaluate(params, state, "valid")["mrr"])
+            if stop_at is not None and best >= stop_at:
+                break
+    return best
+
+
+def test_generalization_gate_complex_decoder(sync_corpus):
+    """Held-out MRR >> chance with the complex decoder: ring rotations are
+    exactly representable by the complex-bilinear family, so a model that
+    LEARNS the structure (not the training set) reaches near-perfect ranking
+    — measured 1.000 best-val MRR vs 0.042 chance.  The gate requires > 0.5
+    (the strong form of VERDICT item 6)."""
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
+                         decoder="complex", batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1,
+                         gcn_drop=0.1, conv_drop=0.0)
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.6)
+    assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
+
+
+def test_generalization_flagship_conve_beats_chance(sync_corpus):
+    """The flagship MGCN+ConvE config must also generalize well above chance
+    on the same corpus (measured best-val MRR ~0.3 = 7x chance before the
+    small decoder starts memorizing the 82-triple train set; the gate is 3x
+    chance with margin)."""
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32, k_w=4, k_h=8,
+                         num_filter=8, kernel_size=3, batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1,
+                         gcn_drop=0.1, conv_drop=0.0,
+                         hidden_drop=0.1, feat_drop=0.1)
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.25)
+    assert best > 3 * CHANCE_MRR, \
+        f"held-out MRR {best:.3f} vs chance {CHANCE_MRR:.3f}"
