@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["threefry", "rbg", "unsafe_rbg"],
                    help="dropout PRNG (rbg = TPU hardware RNG instruction, "
                         "+17%% measured; threefry = jax default stream)")
+    p.add_argument("--bwd_perm", default="contrib",
+                   choices=["contrib", "operands", "fwdw"],
+                   help="backward d_x permutation strategy in the pallas "
+                        "path (ops/spmm_pallas.py)")
     p.add_argument("--rel_compose", default="gather",
                    choices=["gather", "onehot"],
                    help="relation-row materialization in the pallas path")
@@ -136,8 +140,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "num_bases num_blocks composition train_mode num_negatives "
         "edge_sample_size "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
-        "rel_compose eval_batch_size data_axis graph_axis entity_sharded "
-        "data_dir experiments_dir"
+        "rel_compose bwd_perm eval_batch_size data_axis graph_axis "
+        "entity_sharded data_dir experiments_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not

@@ -106,6 +106,18 @@ class Config:
                                      # outputs) to materialize, which XLA
                                      # avoids by fusing gathers into the
                                      # compose.  Kept as an option.
+    bwd_perm: str = "contrib"        # contrib | operands | fwdw — backward
+                                     # d_x segment-sum gets its cotangent
+                                     # stream into src-sorted order: permute
+                                     # the composed (E, d) contrib product
+                                     # (one large dynamic gather), or compose
+                                     # directly in src order from static
+                                     # index arrays with only the parameter
+                                     # table crossing the permutation
+                                     # (ops/spmm_pallas.py _agg_bwd).  One
+                                     # (E, d) permutation movement per half
+                                     # per step is structurally irreducible;
+                                     # the variants differ in scheduling.
     rel_compose: str = "gather"      # gather | onehot — how per-edge relation
                                      # rows are materialized in the pallas
                                      # aggregation path.  A/B'd 2026-08-18:

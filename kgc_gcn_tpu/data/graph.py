@@ -67,6 +67,11 @@ class GraphHalf:
     s_src: jax.Array     # int32 (E_pad,) — src[sperm], precomputed (a 1-D int
                          #   gather is surprisingly expensive on TPU: ~0.6 ms
                          #   per half per step when done inside the backward)
+    s_dst: jax.Array     # int32 (E_pad,) — dst[sperm]; with s_norm/s_rel these
+    s_norm: jax.Array    # f32 (E_pad,)  — let the backward compose its
+    s_rel: jax.Array     # int32 (E_pad,) — src-sorted cotangent stream from
+                         #   SMALL-source gathers instead of permuting the
+                         #   (E, d) contrib array (bwd_perm='operands')
     rperm: jax.Array     # int32 (E_pad,) — permutation sorting rel: the
     r_indptr: jax.Array  # int32 (2R + 2,) — relation-gradient segment-sum
     r_rel: jax.Array     # int32 (E_pad,) — rel[rperm]; runs through the same
@@ -192,6 +197,9 @@ def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
         sperm=jnp.asarray(sperm, jnp.int32),
         s_indptr=jnp.asarray(s_indptr, jnp.int32),
         s_src=jnp.asarray(src[sperm], jnp.int32),
+        s_dst=jnp.asarray(dst[sperm], jnp.int32),
+        s_norm=jnp.asarray(norm[sperm], jnp.float32),
+        s_rel=jnp.asarray(rel[sperm], jnp.int32),
         rperm=jnp.asarray(rperm),
         r_indptr=jnp.asarray(r_indptr),
         r_rel=jnp.asarray(r_rel),

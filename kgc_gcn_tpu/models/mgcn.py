@@ -388,14 +388,17 @@ class MGCN:
             interp = jax.default_backend() != "tpu"
             onehot = cfg.rel_compose != "gather"
             ew = cfg.ew_impl == "pallas"
+            bp = cfg.bwd_perm
             return (aggregate_half_pallas(x, rel_all, et_in, graph.inb,
                                           self.n_ent, interp,
                                           msg_dtype=cfg.compute_dtype,
-                                          rel_onehot=onehot, ew_pallas=ew),
+                                          rel_onehot=onehot, ew_pallas=ew,
+                                          bwd_perm=bp),
                     aggregate_half_pallas(x, rel_all, et_out, graph.outb,
                                           self.n_ent, interp,
                                           msg_dtype=cfg.compute_dtype,
-                                          rel_onehot=onehot, ew_pallas=ew))
+                                          rel_onehot=onehot, ew_pallas=ew,
+                                          bwd_perm=bp))
         return (aggregate_half(x, rel_all, et_in, graph.inb, self.n_ent,
                                cfg.composition),
                 aggregate_half(x, rel_all, et_out, graph.outb, self.n_ent,

@@ -45,6 +45,9 @@ def sample_half(key: jax.Array, half: GraphHalf, num_samples: int,
         sperm=half.sperm,         # unsorted segment-sum path
         s_indptr=half.s_indptr,
         s_src=half.s_src,
+        s_dst=half.s_dst,
+        s_norm=half.s_norm,
+        s_rel=half.s_rel,
         rperm=half.rperm,
         r_indptr=half.r_indptr,
         r_rel=half.r_rel,

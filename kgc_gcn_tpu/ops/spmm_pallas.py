@@ -467,11 +467,12 @@ def aggregate_stacked_pallas(x, rel_all, etab, stacked, n_ent: int,
 
 # ------------------------------------------------------- aggregation with VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(13, 14, 15, 16, 17, 18))
 def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
-                    indptr, sperm, s_indptr, s_src, rdata,
+                    indptr, sperm, s_indptr, s_src, rdata, sdata,
                     n_ent, interpret, msg_dtype="float32",
-                    rel_onehot=False, ew_pallas=False):
+                    rel_onehot=False, ew_pallas=False, bwd_perm="contrib"):
     from kgc_gcn_tpu.ops.elementwise_pallas import _pick_tile, compose_msg_pad
     rg = rel_rows_onehot(rel_all, rel) if rel_onehot else rel_all[rel]
     if ew_pallas and _pick_tile(src.shape[0]) and not interpret:
@@ -496,14 +497,25 @@ def _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
 
 
 def _agg_fwd(x, rel_all, etab, src, dst, rel, norm,
-             indptr, sperm, s_indptr, s_src, rdata,
+             indptr, sperm, s_indptr, s_src, rdata, sdata,
              n_ent, interpret, msg_dtype="float32",
-             rel_onehot=False, ew_pallas=False):
+             rel_onehot=False, ew_pallas=False, bwd_perm="contrib"):
     out = _aggregate_cvjp(x, rel_all, etab, src, dst, rel, norm,
-                          indptr, sperm, s_indptr, s_src, rdata,
-                          n_ent, interpret, msg_dtype, rel_onehot, ew_pallas)
+                          indptr, sperm, s_indptr, s_src, rdata, sdata,
+                          n_ent, interpret, msg_dtype, rel_onehot, ew_pallas,
+                          bwd_perm)
+    w_s = None
+    if bwd_perm == "fwdw":
+        # hoist the irreducible (E, d) permutation into the FORWARD: permute
+        # the cotangent-independent factor w = rel_rows * etab once and save
+        # it src-sorted, so the backward composes contrib_s from small-source
+        # gathers only (scheduling experiment — see _agg_bwd)
+        s_rel = sdata[2]
+        rg_s = rel_rows_onehot(rel_all, s_rel) if rel_onehot \
+            else rel_all[s_rel]
+        w_s = rg_s * etab[sperm]
     return out, (x, rel_all, etab, src, dst, rel, norm,
-                 sperm, s_indptr, s_src, rdata)
+                 sperm, s_indptr, s_src, rdata, sdata, w_s)
 
 
 def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
@@ -542,10 +554,11 @@ def _segment_sum_few(vals: jax.Array, ids: jax.Array, n_seg: int,
                                   preferred_element_type=jnp.float32))
 
 
-def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, res, g):
+def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
+             res, g):
     from kgc_gcn_tpu.ops.elementwise_pallas import _pick_tile, bwd_products
     (x, rel_all, etab, src, dst, rel, norm,
-     sperm, s_indptr, s_src, rdata) = res
+     sperm, s_indptr, s_src, rdata, sdata, w_s) = res
     xg = x[src]
     rg = rel_rows_onehot(rel_all, rel) if rel_onehot else rel_all[rel]
     gd = g[dst] * norm[:, None]                  # (E, D) cotangent per edge
@@ -553,22 +566,49 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, res, g):
     # the three cotangent products share operands; XLA lowers them as three
     # fusions re-reading gd/xg/rg/etab (1.03 ms/step traced) — the Pallas
     # kernel emits all three in one HBM pass (0.64 ms roofline)
-    if ew_pallas and _pick_tile(src.shape[0]) and not interpret:
+    if (ew_pallas and bwd_perm == "contrib" and _pick_tile(src.shape[0])
+            and not interpret):
         contrib, d_rel_in, d_etab = bwd_products(
             gd, xg, rg, etab, msg_dtype, interpret)
     else:
-        contrib = gd * rg * etab
+        contrib = None if bwd_perm in ("operands", "fwdw") \
+            else gd * rg * etab
         d_rel_in = gd * xg * etab
         d_etab = gd * xg * rg
         if msg_dtype != "float32":
-            contrib = contrib.astype(msg_dtype)
             d_rel_in = d_rel_in.astype(msg_dtype)
+            if contrib is not None:
+                contrib = contrib.astype(msg_dtype)
 
-    # d_x: segment-sum over src — the precomputed src-sorted permutation
-    # (s_src = src[sperm], a static array: recomputing that 1-D int gather
-    # on device costs ~0.6 ms per half) lets the kernel apply again
+    # d_x: a segment-sum over SOURCE, so the kernel needs the cotangent
+    # stream in src-sorted edge order.  Two ways to get it there:
+    #   contrib  — compose in dst order, permute the (E, D) product
+    #              (``contrib[sperm]``, one large dynamic-row gather);
+    #   operands — compose DIRECTLY in src order from the precomputed static
+    #              index arrays: g rows via the small-source ``g[s_dst]``
+    #              gather, relation rows from the tiny table, and only the
+    #              parameter table crosses the permutation (``etab[sperm]``),
+    #              which XLA can schedule independently of the cotangent
+    #              dataflow.  Structurally one (E, D) permutation movement is
+    #              irreducible either way (each half needs its edge stream in
+    #              both dst and src order per step); the variants differ only
+    #              in WHAT crosses and how it schedules — A/B on hardware.
+    if bwd_perm == "fwdw":
+        s_dst, s_norm, _ = sdata
+        contrib_s = (g[s_dst] * s_norm[:, None]) * w_s
+        if msg_dtype != "float32":
+            contrib_s = contrib_s.astype(msg_dtype)
+    elif bwd_perm == "operands":
+        s_dst, s_norm, s_rel = sdata
+        rg_s = rel_rows_onehot(rel_all, s_rel) if rel_onehot \
+            else rel_all[s_rel]
+        contrib_s = (g[s_dst] * s_norm[:, None]) * rg_s * etab[sperm]
+        if msg_dtype != "float32":
+            contrib_s = contrib_s.astype(msg_dtype)
+    else:
+        contrib_s = contrib[sperm]
     dx = segment_sum_pallas(
-        contrib[sperm], s_src, s_indptr, x.shape[0], interpret=interpret)
+        contrib_s, s_src, s_indptr, x.shape[0], interpret=interpret)
 
     # d_rel: few segments — one-hot MXU matmul (rel-sorted Pallas for many rels)
     d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
@@ -578,7 +618,7 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, res, g):
     # its gradient is just the dense per-edge product — no permutation, no
     # scatter (padding rows have norm 0, hence zero gradient)
 
-    return (dx, d_rel, d_etab) + (None,) * 9
+    return (dx, d_rel, d_etab) + (None,) * 10
 
 
 _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
@@ -588,7 +628,8 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
                           interpret: bool = False,
                           msg_dtype: str = "float32",
                           rel_onehot: bool = False,
-                          ew_pallas: bool = False):
+                          ew_pallas: bool = False,
+                          bwd_perm: str = "contrib"):
     # keyword defaults mirror the Config defaults (rel_compose='gather',
     # ew_impl='xla' — the variants measured fastest and exact); the opt-in
     # alternates are selected explicitly by the model from the config
@@ -611,4 +652,5 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
         x, rel_all, etab, half.src, half.dst, half.rel,
         half.norm, half.indptr, half.sperm, half.s_indptr, half.s_src,
         (half.rperm, half.r_indptr, half.r_rel),
-        n_ent, interpret, msg_dtype, rel_onehot, ew_pallas)
+        (half.s_dst, half.s_norm, half.s_rel),
+        n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm)

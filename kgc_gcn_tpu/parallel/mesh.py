@@ -47,6 +47,7 @@ def _half_sharding(mesh: Mesh, half: GraphHalf) -> GraphHalf:
     rep = NamedSharding(mesh, P())
     return GraphHalf(src=edge, dst=edge, rel=edge, eid=edge, norm=edge,
                      indptr=rep, sperm=edge, s_indptr=rep, s_src=edge,
+                     s_dst=edge, s_norm=edge, s_rel=edge,
                      rperm=edge, r_indptr=rep, r_rel=edge,
                      e_real=half.e_real)
 

@@ -82,6 +82,39 @@ def test_aggregate_half_pallas_gradients(toy):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("rel_onehot", [False, True])
+@pytest.mark.parametrize("variant", ["operands", "fwdw"])
+def test_aggregate_half_bwd_perm_variants_match_contrib(toy, rel_onehot,
+                                                        variant):
+    """bwd_perm='operands' (src-order compose from static index arrays) and
+    'fwdw' (permute the cotangent-independent w = rel*etab in the forward) ==
+    bwd_perm='contrib' (permute the composed product) for every gradient,
+    both halves."""
+    ds, g, _ = toy
+    rng = np.random.default_rng(17)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    for half in (g.inb, g.outb):
+        et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+
+        def loss(bp):
+            def f(x, rel, et):
+                return jnp.sum(aggregate_half_pallas(
+                    x, rel, et, half, ds.num_entity, _interp(),
+                    rel_onehot=rel_onehot, bwd_perm=bp) * w)
+            return f
+
+        g1 = jax.grad(loss(variant), argnums=(0, 1, 2))(x, rel, et)
+        g2 = jax.grad(loss("contrib"), argnums=(0, 1, 2))(x, rel, et)
+        for a, b, name in zip(g1, g2, ("x", "rel", "edge")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 def test_mgcn_with_pallas_matches_plain(toy, toy_cfg):
     from kgc_gcn_tpu.models import build_model
     ds, g, _ = toy
