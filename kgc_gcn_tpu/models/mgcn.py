@@ -139,6 +139,8 @@ class MGCN:
                     f"flags: {bad}")
         self._es_agg = None          # built by prepare_entity_sharding
         self._es_blocks = None
+        self._edge_pallas_agg = None  # built by prepare_edge_sharding
+        self._edge_csr = None
 
     # ------------------------------------------------------------------ init
 
@@ -345,6 +347,36 @@ class MGCN:
             agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
         self._es_agg = agg
 
+    def prepare_edge_sharding(self, graph: Graph) -> None:
+        """Host-side setup for Pallas kernels UNDER the edge partition.
+
+        GSPMD cannot partition a Pallas custom call — with ``use_pallas`` on
+        a graph axis it would reshard the kernel inputs to replicated and run
+        every edge on every device.  This precomputes per-shard local CSR
+        metadata (parallel/edge_parallel.py build_local_csr) so _agg_halves
+        can dispatch the shard_map per-shard kernel schedule instead.
+        Idempotent; the Trainer calls it when a mesh with graph_axis > 1 is
+        active."""
+        cfg = self.cfg
+        if (not cfg.use_pallas or self.mesh is None
+                or self._edge_pallas_agg is not None):
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.edge_parallel import (
+            build_local_csr, make_pallas_sharded_aggregate)
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        g = self.mesh.shape[GRAPH_AXIS]
+        if g < 2:
+            return
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        put = lambda csr: tuple(jax.device_put(a, row) for a in csr)
+        self._edge_csr = {name: put(build_local_csr(getattr(graph, name), g))
+                          for name in ("inb", "outb")}
+        self._edge_pallas_agg = make_pallas_sharded_aggregate(
+            self.mesh, self.n_ent, jax.default_backend() != "tpu",
+            cfg.compute_dtype)
+
     def _agg_entity_sharded(self, x, rel_all, et_full, graph: Graph):
         """Per-half aggregation with the ENTITY activations row-sharded over
         the graph axis (the graph analog of context parallelism, SURVEY.md
@@ -383,6 +415,14 @@ class MGCN:
         (used by the stacked depth layers; layer 1 has its own dispatch)."""
         cfg = self.cfg
         et_in, et_out = et_full[0], et_full[1]
+        if self._edge_pallas_agg is not None:
+            # mesh with a graph axis: per-shard Pallas kernels under
+            # shard_map (prepare_edge_sharding) — the GSPMD fallback would
+            # replicate the custom call's inputs
+            return (self._edge_pallas_agg(x, rel_all, et_in, graph.inb,
+                                          self._edge_csr["inb"]),
+                    self._edge_pallas_agg(x, rel_all, et_out, graph.outb,
+                                          self._edge_csr["outb"]))
         if cfg.use_pallas:
             from kgc_gcn_tpu.ops.spmm_pallas import aggregate_half_pallas
             interp = jax.default_backend() != "tpu"

@@ -67,6 +67,137 @@ def make_sharded_aggregate(mesh: Mesh, n_ent: int):
     return agg
 
 
+def build_local_csr(half: GraphHalf, g_size: int):
+    """Per-shard CSR metadata for running the Pallas segment-sum kernel on
+    each device's LOCAL edge slice (host-side, static graph).
+
+    The edge partition splits the dst-sorted edge array into ``g_size``
+    contiguous slices, so each slice is itself dst-sorted and covers a dst
+    range: the local CSR pointers are just the global ones clipped to the
+    slice.  The backward's d_x segment-sum needs each slice SRC-sorted, so a
+    local src permutation + pointers are precomputed per shard too.
+
+    Returns arrays with a leading (G,) shard axis, to be device_put with
+    ``P(graph)`` sharding on axis 0:
+      ``indptr (G, N+1)``, ``sperm (G, E_loc)``, ``s_src (G, E_loc)``,
+      ``s_indptr (G, N+1)``.
+    """
+    src = np.asarray(half.src)
+    dst = np.asarray(half.dst)
+    e_pad = src.shape[0]
+    assert e_pad % g_size == 0, (e_pad, g_size)
+    e_loc = e_pad // g_size
+    n_rows = np.asarray(half.indptr).shape[0] - 1
+    g_indptr = np.asarray(half.indptr).astype(np.int64)
+
+    indptr = np.zeros((g_size, n_rows + 1), np.int32)
+    sperm = np.zeros((g_size, e_loc), np.int32)
+    s_src = np.zeros((g_size, e_loc), np.int32)
+    s_indptr = np.zeros((g_size, n_rows + 1), np.int32)
+    for i in range(g_size):
+        lo = i * e_loc
+        indptr[i] = np.clip(g_indptr - lo, 0, e_loc)
+        ls = src[lo: lo + e_loc]
+        order = np.argsort(ls, kind="stable").astype(np.int32)
+        sperm[i] = order
+        s_src[i] = ls[order]
+        s_indptr[i, 1:] = np.cumsum(np.bincount(ls, minlength=n_rows))
+    return (jnp.asarray(indptr), jnp.asarray(sperm),
+            jnp.asarray(s_src), jnp.asarray(s_indptr))
+
+
+def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
+                                  msg_dtype: str = "float32"):
+    """Edge-partitioned aggregation where each device runs the Pallas MXU
+    segment-sum kernel (ops/spmm_pallas.py) on ITS local edge slice.
+
+    The GSPMD default cannot partition a Pallas custom call — it reshards the
+    kernel inputs to replicated, so ``use_pallas`` under a graph axis would
+    silently run the whole edge list on every device.  This shard_map variant
+    keeps the kernel on the partition: per device, compose local messages,
+    kernel-aggregate into the full (N, d) accumulator using the local CSR
+    pointers (each dst-sorted slice covers a dst range; rows outside it get
+    zero chunks), then one ``psum``.  The custom VJP mirrors the single-chip
+    one per shard: d_x via the kernel over the LOCAL src-sorted permutation
+    (+ psum), d_rel via a one-hot MXU matmul (+ psum), d_etab dense and
+    LOCAL (the positional table slice lives on this device — stays sharded).
+
+    Returns ``agg(x, rel_all, etab, half, local_csr) -> (N, d)`` where
+    ``local_csr`` comes from :func:`build_local_csr` device_put row-sharded.
+    """
+    from kgc_gcn_tpu.ops.spmm_pallas import (
+        _segment_sum_few, segment_sum_pallas)
+
+    edge = P(GRAPH_AXIS)
+    rep = P()
+    shardwise = P(GRAPH_AXIS)   # leading (G, ...) metadata axis
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+    def local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                  indptr, sperm, s_src, s_indptr):
+        msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
+        if msg_dtype != "float32":
+            msg = msg.astype(msg_dtype)
+        return segment_sum_pallas(msg, dst, indptr, n_ent,
+                                  interpret=interpret)[:, :d_orig]
+
+    def local_fwd(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                  indptr, sperm, s_src, s_indptr):
+        out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                        indptr, sperm, s_src, s_indptr)
+        return out, (x, rel_all, etab, src, dst, rel, norm,
+                     sperm, s_src, s_indptr)
+
+    def local_bwd(d_orig, res, g):
+        x, rel_all, etab, src, dst, rel, norm, sperm, s_src, s_indptr = res
+        xg = x[src]
+        rg = rel_all[rel]
+        gd = g[dst] * norm[:, None]
+        contrib = gd * rg * etab
+        d_rel_in = gd * xg * etab
+        d_etab = gd * xg * rg
+        if msg_dtype != "float32":
+            contrib = contrib.astype(msg_dtype)
+            d_rel_in = d_rel_in.astype(msg_dtype)
+        dx = segment_sum_pallas(
+            contrib[sperm], s_src, s_indptr, x.shape[0],
+            interpret=interpret)[:, :d_orig]
+        d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
+                                 interpret=interpret)[:, :d_orig]
+        return (dx, d_rel, d_etab) + (None,) * 8
+
+    local_agg.defvjp(local_fwd, local_bwd)
+
+    def make(d_orig):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(rep, rep, edge, edge, edge, edge, edge,
+                      shardwise, shardwise, shardwise, shardwise),
+            out_specs=rep,
+            # pallas_call's out_shape carries no vma annotation — use the
+            # classic (unchecked) shard_map semantics for this region
+            check_vma=False,
+        )
+        def _agg(x, rel_all, etab, src, dst, rel, norm,
+                 indptr, sperm, s_src, s_indptr):
+            out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                            indptr[0], sperm[0], s_src[0], s_indptr[0])
+            return jax.lax.psum(out, GRAPH_AXIS)
+        return _agg
+
+    cache = {}
+
+    def agg(x, rel_all, etab, half: GraphHalf, local_csr):
+        d_orig = x.shape[1]
+        if d_orig not in cache:
+            cache[d_orig] = make(d_orig)
+        indptr, sperm, s_src, s_indptr = local_csr
+        return cache[d_orig](x, rel_all, etab, half.src, half.dst, half.rel,
+                             half.norm, indptr, sperm, s_src, s_indptr)
+
+    return agg
+
+
 def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int):
     """Aggregation with the ENTITY state sharded too (graphs whose (N, d)
     activations/embeddings exceed one chip's HBM — the scaling axis the

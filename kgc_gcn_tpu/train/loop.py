@@ -63,6 +63,10 @@ class Trainer:
                 and hasattr(model, "prepare_entity_sharding")):
             # host-side ring/gather schedule metadata (must happen outside jit)
             model.prepare_entity_sharding(graph)
+        if (cfg.use_pallas and mesh is not None
+                and hasattr(model, "prepare_edge_sharding")):
+            # per-shard CSR metadata so Pallas kernels ride the edge partition
+            model.prepare_edge_sharding(graph)
 
         self._train_epoch_jit = jax.jit(
             self._train_epoch, donate_argnums=(0, 1, 2))

@@ -314,6 +314,94 @@ def test_entity_sharded_train_step_matches_single_device(
                                    rtol=2e-2, atol=1e-3)
 
 
+def test_pallas_sharded_aggregate_matches_single_device(toy, eight_devices):
+    """Per-shard Pallas kernels under shard_map == plain segment-sum,
+    forward and every gradient (the edge partition actually carries the
+    kernel; GSPMD alone would reshard the custom call to replicated)."""
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+    from kgc_gcn_tpu.parallel.edge_parallel import (
+        build_local_csr, make_pallas_sharded_aggregate)
+
+    ds, g, banks = toy
+    rng = np.random.default_rng(23)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    mesh = make_mesh(data=1, graph=8)
+    gs = shard_graph(g, mesh)
+    agg = make_pallas_sharded_aggregate(mesh, ds.num_entity, interpret=True)
+    row = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("graph"))
+    with mesh:
+        for name in ("inb", "outb"):
+            half, half_s = getattr(g, name), getattr(gs, name)
+            et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+            csr = tuple(jax.device_put(a, row)
+                        for a in build_local_csr(half, 8))
+
+            out = agg(x, rel, jax.device_put(et, row), half_s, csr)
+            expect = aggregate_half(x, rel, et, half, ds.num_entity)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+            def loss(f):
+                def go(x, rel, et):
+                    return jnp.sum(f(x, rel, et) * w)
+                return go
+
+            g1 = jax.grad(loss(lambda *a: agg(*a, half_s, csr)),
+                          argnums=(0, 1, 2))(x, rel, et)
+            g2 = jax.grad(loss(lambda *a: aggregate_half(*a, half,
+                                                         ds.num_entity)),
+                          argnums=(0, 1, 2))(x, rel, et)
+            for a, b, nm in zip(g1, g2, ("x", "rel", "edge")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    err_msg=f"{name}:{nm}")
+
+
+def test_pallas_train_step_under_mesh_matches_single_device(toy, toy_cfg,
+                                                            eight_devices):
+    """use_pallas + (data x graph) mesh: the full train step through the
+    shard_map per-shard kernel schedule == the single-device pallas step."""
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(num_filter=2, batch_size=8, use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+    batch = 8
+
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = _one_step(t1, params, state, opt_state, g,
+                               banks["train"], batch)
+
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    model2 = build_model(cfg, ds.num_entity, ds.num_relation,
+                         ds.num_edge, e_pad=g.e_pad, mesh=mesh)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        t2 = Trainer(cfg, model2, gs, banks, mesh=mesh)
+        assert model2._edge_pallas_agg is not None   # kernel rides the mesh
+        p2, s2, o2, l2 = _one_step(
+            t2, ps, ss, os_, gs, banks["train"], batch,
+            put=lambda x: jax.device_put(x, bsp))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
 def test_entity_sharded_eval_matches_single_device(toy, toy_cfg,
                                                    eight_devices):
     """Filtered-rank evaluation through the entity-sharded encoder == the
