@@ -157,10 +157,22 @@ def _rel_sort(rel: np.ndarray, n_rel_rows: int):
 
 
 def _build_half(src, dst, rel, eid, n_ent: int, n_edge_total: int,
-                n_rel_rows: int, pad_to: int) -> GraphHalf:
+                n_rel_rows: int, pad_to: int,
+                use_native: bool = True) -> GraphHalf:
     e = len(src)
-    norm = _reference_norm(src, dst, n_ent)
-    order = np.argsort(dst, kind="stable")
+    nat = None
+    if use_native:
+        # C++ half-builder (native/graphcore.cpp gc_build_half): one pass for
+        # the stable dst-sort + CSR pointers + reference norm — the numpy
+        # norm path's np.add.at is the host-side bottleneck on large graphs.
+        # Equality vs numpy is pinned by tests/test_native.py.
+        from kgc_gcn_tpu.utils.native import build_half_native
+        nat = build_half_native(src, dst, n_ent)
+    if nat is not None:
+        order, _, norm = nat
+    else:
+        norm = _reference_norm(src, dst, n_ent)
+        order = np.argsort(dst, kind="stable")
     src, dst, rel, eid, norm = (a[order] for a in (src, dst, rel, eid, norm))
 
     e_pad = padded_edge_count(e, pad_to)
@@ -243,6 +255,7 @@ def build_graph(
     n_ent: int,
     n_rel: int,
     pad_to: int = EDGE_PAD,
+    use_native: bool = True,
 ) -> Graph:
     """Build the bidirectional training graph (reference data_loader.py:132-157).
 
@@ -256,9 +269,10 @@ def build_graph(
     eid = np.arange(e, dtype=np.int32)
 
     n_rel_rows = 2 * n_rel + 1   # rel_all rows incl. the appended loop rel
-    inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, n_rel_rows, pad_to)
+    inb = _build_half(src, dst, rel, eid, n_ent, 2 * e, n_rel_rows, pad_to,
+                      use_native)
     outb = _build_half(dst, src, rel + n_rel, eid + e, n_ent, 2 * e,
-                       n_rel_rows, pad_to)
+                       n_rel_rows, pad_to, use_native)
     e_pad = int(inb.src.shape[0])
 
     # stacked view: concat the (already dst-sorted) halves, offsetting the

@@ -53,6 +53,27 @@ def test_native_build_half_matches_numpy():
 
 
 @needs_native
+def test_build_graph_native_matches_python():
+    """The PRODUCT graph build (which routes norms/sort/CSR through
+    gc_build_half when the library is available) == the pure-numpy path,
+    every array of every half and the stacked view."""
+    import jax
+    from kgc_gcn_tpu.data.graph import build_graph
+
+    rng = np.random.default_rng(4)
+    tri = np.stack([rng.integers(30, size=300), rng.integers(5, size=300),
+                    rng.integers(30, size=300)], axis=1).astype(np.int64)
+    a = build_graph(tri, 30, 5, pad_to=8, use_native=True)
+    b = build_graph(tri, 30, 5, pad_to=8, use_native=False)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        la, lb = np.asarray(la), np.asarray(lb)
+        if la.dtype.kind == "f":   # norms: C++ rsqrt rounds at ulp level
+            np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+        else:
+            np.testing.assert_array_equal(la, lb)
+
+
+@needs_native
 def test_native_malformed_line_raises(tmp_path):
     root = tmp_path / "Bad"
     root.mkdir()
