@@ -171,9 +171,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # multi-host pods: one process per host — join the coordination service
+    # BEFORE first backend use so jax.devices() is the global set (no-op
+    # unless JAX_COORDINATOR_ADDRESS is configured by the launcher)
+    from kgc_gcn_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
+    from kgc_gcn_tpu.utils.logging import is_host_zero
+
     model_dir = os.path.join(cfg.experiments_dir, cfg.dataset)
     os.makedirs(model_dir, exist_ok=True)
-    cfg.to_json(os.path.join(model_dir, "params.json"))
+    if is_host_zero():   # the run record is shared; don't race across hosts
+        cfg.to_json(os.path.join(model_dir, "params.json"))
     set_logger(os.path.join(model_dir, "train.log"))
     logging.info("devices: %s", jax.devices())
 

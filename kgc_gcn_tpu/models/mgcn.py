@@ -340,8 +340,8 @@ class MGCN:
             blocks = {}
             for name in ("inb", "outb"):
                 b, m = build_ring_blocks(getattr(graph, name), g, agg.n_pad)
-                blocks[name] = (jax.device_put(b, row),
-                                jax.device_put(m, row))
+                from kgc_gcn_tpu.parallel.distributed import put_global
+                blocks[name] = (put_global(b, row), put_global(m, row))
             self._es_blocks = blocks
         else:
             agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
@@ -370,7 +370,8 @@ class MGCN:
         if g < 2:
             return
         row = NamedSharding(self.mesh, P(GRAPH_AXIS))
-        put = lambda csr: tuple(jax.device_put(a, row) for a in csr)
+        from kgc_gcn_tpu.parallel.distributed import put_global
+        put = lambda csr: tuple(put_global(a, row) for a in csr)
         self._edge_csr = {name: put(build_local_csr(getattr(graph, name), g))
                           for name in ("inb", "outb")}
         self._edge_pallas_agg = make_pallas_sharded_aggregate(

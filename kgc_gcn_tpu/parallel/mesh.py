@@ -67,13 +67,14 @@ def shard_graph(graph: Graph, mesh: Mesh) -> Graph:
     size dividing 256 shards evenly; padding edges are zero-norm no-ops on
     whichever shard they land.
     """
+    from kgc_gcn_tpu.parallel.distributed import put_global
     sh = Graph(inb=_half_sharding(mesh, graph.inb),
                outb=_half_sharding(mesh, graph.outb),
                stacked=_stacked_sharding(mesh, graph.stacked),
                n_ent=graph.n_ent, n_rel=graph.n_rel,
                n_edge=graph.n_edge, e_pad=graph.e_pad)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), graph, sh,
+        put_global, graph, sh,
         is_leaf=lambda x: isinstance(x, (jax.Array, NamedSharding)))
 
 
@@ -91,20 +92,21 @@ def shard_params(tree, mesh: Mesh):
     import dataclasses
 
     from kgc_gcn_tpu.models.mgcn import MGCNParams
+    from kgc_gcn_tpu.parallel.distributed import put_global
 
     rep = NamedSharding(mesh, P())
     etab = NamedSharding(mesh, P(None, GRAPH_AXIS, None))
 
     def place(node):
         if isinstance(node, MGCNParams):
-            # one device_put with a sharding pytree — a replicate-then-reshard
-            # two-step would transfer the (large) tables to every device first
+            # leafwise placement with a sharding pytree — a replicate-then-
+            # reshard two-step would transfer the large tables everywhere
             sh = jax.tree.map(lambda _: rep, node)
             sh = dataclasses.replace(
                 sh, edge_embeddings=etab,
                 extra_edge_embeddings=(etab,) * len(node.extra_edge_embeddings))
-            return jax.device_put(node, sh)
-        return jax.device_put(node, rep)
+            return jax.tree.map(put_global, node, sh)
+        return jax.tree.map(lambda a: put_global(a, rep), node)
 
     return jax.tree.map(place, tree,
                         is_leaf=lambda n: isinstance(n, MGCNParams))
@@ -123,5 +125,6 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 def shard_batches(mesh: Optional[Mesh], idx, mask):
     if mesh is None:
         return idx, mask
+    from kgc_gcn_tpu.parallel.distributed import put_global
     sh = batch_sharding(mesh, idx.ndim)
-    return jax.device_put(idx, sh), jax.device_put(mask, sh)
+    return put_global(idx, sh), put_global(mask, sh)

@@ -35,11 +35,24 @@ def _flatten(tree: Any):
     return leaves, treedef
 
 
+def _fully_addressable(tree: Any) -> bool:
+    return all(getattr(l, "is_fully_addressable", True)
+               for l in jax.tree.leaves(tree))
+
+
 def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
                     backend: str = "npz") -> str:
     """Save a pytree + scalar measure under ``ckpt_dir`` (policy: callers save
-    only on val-MRR improvement, so 'last' always holds the best)."""
+    only on val-MRR improvement, so 'last' always holds the best).
+
+    Multi-process: leaves sharded across hosts are not fully addressable —
+    the npz writer cannot assemble them, so such trees route to the orbax
+    backend (which coordinates distributed writes itself); fully-addressable
+    (replicated / single-host) trees are written by process 0 only.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
+    if backend == "npz" and not _fully_addressable(tree):
+        backend = "orbax"
     if backend == "orbax":
         import orbax.checkpoint as ocp
         path = os.path.join(os.path.abspath(ckpt_dir), ORBAX_DIR)
@@ -54,6 +67,8 @@ def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
         os.replace(tmp, path)
         return path
     path = os.path.join(ckpt_dir, CKPT_NAME)
+    if jax.process_index() != 0:
+        return path   # replicated data: one writer (shared-FS race safety)
     leaves, _ = _flatten(tree)
     arrays = {}
     for i, l in enumerate(leaves):
