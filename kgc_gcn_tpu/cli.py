@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", default=0.001, type=float)
     p.add_argument("--patience_num", default=-1, type=int)
     p.add_argument("--learning_rate", default=0.001, type=float)
+    p.add_argument("--lr_schedule", default="step",
+                   choices=["step", "cosine", "constant"],
+                   help="per-epoch lr schedule (step = reference StepLR)")
+    p.add_argument("--warmup_epochs", default=0, type=int)
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--lbl_smooth", default=0.1, type=float)
     p.add_argument("--num_workers", default=0, type=int,
@@ -134,7 +138,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     for field in (
         "seed restore_dir restore_torch batch_size max_epoch min_epoch "
         "eval_every ckpt_every patience "
-        "patience_num learning_rate weight_decay lbl_smooth bias gcn_in_dim "
+        "patience_num learning_rate lr_schedule warmup_epochs weight_decay "
+        "lbl_smooth bias gcn_in_dim "
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks composition train_mode num_negatives "

@@ -42,6 +42,10 @@ class Config:
     clip_grad: float = 1.0
     lr_step_size: int = 10           # StepLR(step_size=10, gamma=0.995), main.py:219
     lr_gamma: float = 0.995
+    lr_schedule: str = "step"        # step | cosine | constant (step =
+                                     # reference parity; others are framework
+                                     # extensions, train/optim.py epoch_lr)
+    warmup_epochs: int = 0           # linear lr warmup over the first K epochs
 
     # ---- model: MGCN encoder (reference main.py:33-36) ----
     bias: bool = False

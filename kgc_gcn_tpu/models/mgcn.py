@@ -374,8 +374,11 @@ class MGCN:
         put = lambda csr: tuple(put_global(a, row) for a in csr)
         self._edge_csr = {name: put(build_local_csr(getattr(graph, name), g))
                           for name in ("inb", "outb")}
+        # interpret mode follows the MESH devices (a CPU mesh can coexist
+        # with a TPU default backend — e.g. the driver's dryrun)
+        mesh_platform = next(iter(self.mesh.devices.flat)).platform
         self._edge_pallas_agg = make_pallas_sharded_aggregate(
-            self.mesh, self.n_ent, jax.default_backend() != "tpu",
+            self.mesh, self.n_ent, mesh_platform != "tpu",
             cfg.compute_dtype)
 
     def _agg_entity_sharded(self, x, rel_all, et_full, graph: Graph):

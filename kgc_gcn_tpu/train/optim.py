@@ -74,12 +74,29 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def epoch_lr(cfg: Config, epoch: int) -> float:
-    """lr for epoch (1-based): base * gamma^floor((epoch-1)/step_size).
+    """lr for epoch (1-based), per ``cfg.lr_schedule``.
 
-    torch StepLR stepped after each epoch (reference main.py:152,219): epochs
-    1..10 run at base lr, 11..20 at base*gamma, etc.
+    ``step`` (default, reference parity): base * gamma^floor((epoch-1)/
+    step_size) — torch StepLR stepped after each epoch (reference
+    main.py:152,219): epochs 1..10 run at base lr, 11..20 at base*gamma, etc.
+    ``cosine``: half-cosine from base to 0 over max_epoch.  ``constant``:
+    base.  All schedules apply an optional linear warmup over the first
+    ``warmup_epochs`` epochs (framework extension; the reference has none).
     """
-    return cfg.learning_rate * cfg.lr_gamma ** ((epoch - 1) // cfg.lr_step_size)
+    import math
+
+    base = cfg.learning_rate
+    warm = getattr(cfg, "warmup_epochs", 0)
+    if warm > 0 and epoch <= warm:
+        return base * epoch / warm
+    sched = getattr(cfg, "lr_schedule", "step")
+    if sched == "constant":
+        return base
+    if sched == "cosine":
+        # progress over the post-warmup span; never quite reaches 0 mid-run
+        t = (epoch - warm - 1) / max(cfg.max_epoch - warm, 1)
+        return base * 0.5 * (1.0 + math.cos(math.pi * min(t, 1.0)))
+    return base * cfg.lr_gamma ** ((epoch - 1) // cfg.lr_step_size)
 
 
 def apply_updates_with_lr(params, updates, lr):

@@ -70,6 +70,22 @@ def test_generalization_gate_complex_decoder(sync_corpus):
     assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
 
 
+def test_generalization_gate_survives_bf16_modes(sync_corpus):
+    """The bf16 throughput modes (Adam moments stored in bf16; bf16 matmul
+    operands with f32 accumulation) must not break LEARNING: the same
+    complex-decoder gate stays >> chance with both enabled.  This is the
+    in-environment accuracy validation the bench notes flagged as missing
+    for moment_dtype/compute_dtype (BENCH_NOTES.md)."""
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
+                         decoder="complex", batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1,
+                         gcn_drop=0.1, conv_drop=0.0,
+                         moment_dtype="bfloat16", compute_dtype="bfloat16")
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.6)
+    assert best > 0.5, f"bf16 modes held-out MRR {best:.3f}"
+
+
 def test_generalization_flagship_conve_beats_chance(sync_corpus):
     """The flagship MGCN+ConvE config must also generalize well above chance
     on the same corpus (measured best-val MRR ~0.3 = 7x chance before the

@@ -46,6 +46,23 @@ def test_epoch_lr_steps():
     assert abs(epoch_lr(cfg, 21) - 0.002 * 0.995 ** 2) < 1e-12
 
 
+def test_epoch_lr_schedules():
+    from kgc_gcn_tpu.config import Config
+    # warmup ramps linearly, then the base schedule takes over
+    cfg = Config(learning_rate=0.01, warmup_epochs=4)
+    assert abs(epoch_lr(cfg, 1) - 0.0025) < 1e-12
+    assert abs(epoch_lr(cfg, 4) - 0.01) < 1e-12
+    assert abs(epoch_lr(cfg, 5) - 0.01) < 1e-12     # step: gamma^0
+    # cosine: base at start, ~0 at the end, halfway at midpoint
+    cfg = Config(learning_rate=0.01, lr_schedule="cosine", max_epoch=100)
+    assert abs(epoch_lr(cfg, 1) - 0.01) < 1e-12
+    assert epoch_lr(cfg, 100) < 0.01 * 0.01
+    assert abs(epoch_lr(cfg, 51) - 0.005) < 1e-4
+    # constant
+    cfg = Config(learning_rate=0.01, lr_schedule="constant")
+    assert epoch_lr(cfg, 1) == epoch_lr(cfg, 500) == 0.01
+
+
 def test_train_epoch_reduces_loss(setup):
     ds, cfg, model, trainer, params, state, opt_state = setup
     host_rng = np.random.default_rng(0)
