@@ -117,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--spmm_mode", default="halves", choices=["halves", "stacked"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the encoder in the backward "
+                        "(memory for recompute; see config.py)")
     p.add_argument("--no_scan_epoch", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--data_axis", default=1, type=int)
@@ -143,7 +146,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks composition train_mode num_negatives "
-        "edge_sample_size "
+        "edge_sample_size remat "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
         "rel_compose bwd_perm eval_batch_size data_axis graph_axis "
         "entity_sharded data_dir experiments_dir"

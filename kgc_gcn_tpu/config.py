@@ -152,6 +152,12 @@ class Config:
                                      # throughput (ab_variants.py 2026-08-18:
                                      # 123.7 vs 106.1 steps/s).  Same Bernoulli
                                      # distribution, different stream.
+    remat: bool = False              # jax.checkpoint the full-graph encoder:
+                                     # recompute its (N, d)/(E, d)
+                                     # intermediates in the backward instead
+                                     # of storing them — FLOPs for HBM, for
+                                     # graphs whose activations crowd out
+                                     # the optimizer state (train/loop.py)
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding

@@ -112,10 +112,18 @@ class Trainer:
     def _loss_and_update(self, params, state, opt_state, graph, lr, q,
                          label_idx, mask, rng):
         def loss_fn(p):
+            rngs = self.model.make_rngs(rng)
+            encode = lambda p_: self.model.encode(
+                p_, state, graph, train=True, rngs=rngs)
+            if self.cfg.remat:
+                # rematerialize the full-graph encoder in the backward: its
+                # (N, d) activations (+ the (E, d) message intermediates that
+                # autodiff would otherwise keep) are recomputed instead of
+                # stored — the standard FLOPs-for-HBM trade for graphs whose
+                # activation footprint crowds out the optimizer state
+                encode = jax.checkpoint(encode)
+            all_ent, all_rel, enc_aux = encode(p)
             if self.loss_impl in ("sparse", "fused"):
-                rngs = self.model.make_rngs(rng)
-                all_ent, all_rel, enc_aux = self.model.encode(
-                    p, state, graph, train=True, rngs=rngs)
                 h, ent_bias, dec_state = self.model.query_and_bias(
                     p, state, all_ent, all_rel, q[:, 0], q[:, 1],
                     train=True, rngs=rngs)
@@ -133,8 +141,10 @@ class Trainer:
                         logits, label_idx, self.cfg.lbl_smooth, mask)
                 return loss, new_state
             lbl = build_labels(label_idx, self.n_ent, self.cfg.lbl_smooth)
-            logits, new_state = self.model.apply(
-                p, state, graph, q[:, 0], q[:, 1], train=True, rng=rng)
+            logits, dec_state = self.model.decode(
+                p, state, all_ent, all_rel, q[:, 0], q[:, 1],
+                train=True, rngs=rngs)
+            new_state = self.model.rebuild_state(state, enc_aux, dec_state)
             return bce_with_logits(logits, lbl, mask), new_state
 
         (loss, new_state), grads = jax.value_and_grad(
@@ -225,8 +235,14 @@ class Trainer:
         bs = cfg.eval_batch_size or cfg.batch_size
         idx, mask = epoch_batches(
             bank.n_queries, bs, np.random.default_rng(0), shuffle=False)
+        if self.mesh is not None:
+            from kgc_gcn_tpu.parallel.mesh import shard_batches
+            idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
+                                      jnp.asarray(mask))
+        else:
+            idx, mask = jnp.asarray(idx), jnp.asarray(mask)
         sums = self._eval_pass_jit(
-            params, state, self.graph, jnp.asarray(idx), jnp.asarray(mask),
+            params, state, self.graph, idx, mask,
             bank.queries, bank.label_idx)
         return {k: float(v) for k, v in sums.items()}
 

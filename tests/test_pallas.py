@@ -115,6 +115,53 @@ def test_aggregate_half_bwd_perm_variants_match_contrib(toy, rel_onehot,
                                        rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_aggregate_fuzz_random_graphs(seed):
+    """Kernel trust beyond the toy fixture: random entity/relation/edge
+    counts (ragged vs the tile sizes, hub entities, empty rows, duplicate
+    edges) — pallas forward + every gradient == the plain XLA path, both
+    halves and the stacked both-halves kernel."""
+    from kgc_gcn_tpu.data.graph import build_graph
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+    from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_pallas
+
+    rng = np.random.default_rng(100 + seed)
+    n_ent = int(rng.integers(5, 60))
+    n_rel = int(rng.integers(1, 6))
+    e = int(rng.integers(3, 200))
+    d = int(rng.choice([4, 8, 16]))
+    # skew sources toward a hub entity so some rows are heavy, some empty
+    src = np.where(rng.random(e) < 0.3, 0, rng.integers(n_ent, size=e))
+    tri = np.stack([src, rng.integers(n_rel, size=e),
+                    rng.integers(n_ent, size=e)], axis=1).astype(np.int64)
+    g = build_graph(tri, n_ent, n_rel, pad_to=8)
+
+    x = jnp.asarray(rng.normal(size=(n_ent, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(2 * n_rel + 1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n_ent, d)).astype(np.float32))
+
+    for half in (g.inb, g.outb):
+        et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+        gp = jax.grad(lambda *a: jnp.sum(aggregate_half_pallas(
+            *a, half, n_ent, _interp()) * w), argnums=(0, 1, 2))(x, rel, et)
+        gr = jax.grad(lambda *a: jnp.sum(aggregate_half(
+            *a, half, n_ent) * w), argnums=(0, 1, 2))(x, rel, et)
+        for a, b, nm in zip(gp, gr, ("x", "rel", "edge")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5, err_msg=nm)
+
+    et2 = jnp.asarray(rng.normal(
+        size=(2 * g.e_pad, d)).astype(np.float32))
+    in_a, out_a = aggregate_stacked_pallas(x, rel, et2, g.stacked, n_ent,
+                                           _interp())
+    ref_in = aggregate_half(x, rel, et2[: g.e_pad], g.inb, n_ent)
+    ref_out = aggregate_half(x, rel, et2[g.e_pad:], g.outb, n_ent)
+    np.testing.assert_allclose(np.asarray(in_a[:, :d]), np.asarray(ref_in),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a[:, :d]), np.asarray(ref_out),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_mgcn_with_pallas_matches_plain(toy, toy_cfg):
     from kgc_gcn_tpu.models import build_model
     ds, g, _ = toy

@@ -126,6 +126,33 @@ def test_scan_and_loop_modes_agree(setup):
     assert abs(float(jnp.mean(losses1)) - l_loop) < 1e-5
 
 
+def test_remat_step_matches_plain(setup):
+    """--remat (jax.checkpoint around the encoder) changes memory, not math:
+    one train step produces the same loss and parameters."""
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+    bank = trainer.banks["train"]
+    B = cfg.batch_size
+    q = bank.queries[:B]
+    li = bank.label_idx[:B]
+    ones = jnp.ones((B,), jnp.float32)
+
+    p1, s1, o1, l1 = trainer._train_step_jit(
+        params, state, opt_state, trainer.graph, jnp.float32(1e-3), q, li,
+        ones, jax.random.PRNGKey(2))
+
+    rt = Trainer(cfg.replace(remat=True), model, trainer.graph, trainer.banks)
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    p2, s2, o2, l2 = rt._train_step_jit(
+        params, state, opt_state, trainer.graph, jnp.float32(1e-3), q, li,
+        ones, jax.random.PRNGKey(2))
+
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for a, b in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_evaluate_produces_sane_metrics(setup):
     ds, cfg, model, trainer, params, state, opt_state = setup
     res = trainer.evaluate(params, state, "valid")
