@@ -282,12 +282,18 @@ def main(argv=None) -> int:
             raise ValueError("Must specify restore dir for testing")
         trainer.evaluate(params, state, "test", mark="Test")
     if args.do_predict:
-        from kgc_gcn_tpu.serve import Predictor, serve_file
+        from kgc_gcn_tpu.serve import Predictor, serve_file, serve_stream
         predictor = Predictor(cfg, model, graph, params, state,
                               ds.entity2id, ds.relation2id)
-        for line in serve_file(predictor, args.predict_file, k=args.top_k):
-            print(line)   # stdout is the serving contract (train.log has the
-                          # run context; duplicating there doubles console out)
+        if args.predict_file == "-":
+            import sys
+            for line in serve_stream(predictor, sys.stdin, k=args.top_k):
+                print(line, flush=True)   # one JSON line per query, streamed
+        else:
+            for line in serve_file(predictor, args.predict_file,
+                                   k=args.top_k):
+                print(line)   # stdout is the serving contract (train.log has
+                              # the run context; duplicating doubles output)
     return 0
 
 

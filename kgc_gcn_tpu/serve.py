@@ -146,6 +146,33 @@ class Predictor:
         ]
 
 
+def serve_stream(predictor: Predictor, stream, k: int = 10):
+    """Interactive/streaming serving: one ``subject relation [head]`` query
+    per input line, one JSON line yielded per query (errors come back as
+    ``{"error": ...}`` lines instead of killing the stream).  The CLI wires
+    stdin here via ``--predict_file -``; batch shape is 1 and compiles once.
+    """
+    for line in stream:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0].lower() in ("quit", "exit"):
+            return
+        if len(parts) < 2:
+            yield json.dumps({"error": f"malformed query line {line!r} "
+                                       "(want: subject relation [head])"})
+            continue
+        head = len(parts) > 2 and parts[2].lower() == "head"
+        try:
+            yield json.dumps({
+                "subject": parts[0].lower(), "relation": parts[1].lower(),
+                "head": head,
+                "topk": predictor.query_names(parts[0], parts[1], k=k,
+                                              head=head)})
+        except KeyError as e:
+            yield json.dumps({"error": str(e)})
+
+
 def serve_file(predictor: Predictor, path: str, k: int = 10,
                batch_size: int = 128) -> List[str]:
     """Serve a TSV of ``subject<TAB>relation`` queries; returns JSON lines.

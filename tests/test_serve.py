@@ -91,6 +91,24 @@ def test_serve_file_batched_matches_per_query(predictor, tmp_path):
         assert [e["entity"] for e in rec["topk"]] == [e["entity"] for e in want]
 
 
+def test_serve_stream(predictor):
+    """Streaming mode: one JSON line per query, errors inline, quit stops."""
+    from kgc_gcn_tpu.serve import serve_stream
+    ds, model, params, state, pred = predictor
+    subject = next(iter(ds.entity2id))
+    relation = next(r for r in ds.relation2id if not r.endswith("_reverse"))
+    lines = [f"{subject} {relation}", "", f"{subject} {relation} head",
+             "nosuchentity r0", "onlyonetoken", "quit",
+             f"{subject} {relation}"]
+    out = list(serve_stream(pred, iter(lines), k=2))
+    assert len(out) == 4                      # blank skipped, quit stops
+    first = json.loads(out[0])
+    assert first["subject"] == subject and len(first["topk"]) == 2
+    assert json.loads(out[1])["head"] is True
+    assert "error" in json.loads(out[2])
+    assert "malformed" in json.loads(out[3])["error"]
+
+
 def test_export_tables(predictor, tmp_path):
     ds, model, params, state, pred = predictor
     out = pred.export_tables(str(tmp_path / "tables.npz"))
