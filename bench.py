@@ -53,8 +53,13 @@ def main(mode: str = "pallas"):
             [_sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "scaling_bench.py")],
-            capture_output=True, text=True, check=True)
-        print(out.stdout.strip().splitlines()[-1])
+            capture_output=True, text=True)
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            print(out.stderr, file=_sys.stderr)   # the only diagnostic
+            raise SystemExit(
+                f"scaling_bench failed (exit {out.returncode})")
+        print(lines[-1])
         return
 
     import jax

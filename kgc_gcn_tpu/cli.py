@@ -215,6 +215,12 @@ def main(argv=None) -> int:
             raise ValueError(
                 f"data_axis={cfg.data_axis} must divide "
                 f"batch_size={cfg.batch_size}")
+        eval_bs = cfg.eval_batch_size or cfg.batch_size
+        if eval_bs % cfg.data_axis:
+            # fail NOW, not at the first eval after epochs of training
+            raise ValueError(
+                f"data_axis={cfg.data_axis} must divide "
+                f"eval_batch_size={eval_bs}")
         if graph.e_pad % cfg.graph_axis:
             raise ValueError(
                 f"graph_axis={cfg.graph_axis} must divide the padded edge "

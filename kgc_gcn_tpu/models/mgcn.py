@@ -137,6 +137,14 @@ class MGCN:
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
                     "single-layer mult XLA schedule only; incompatible "
                     f"flags: {bad}")
+        if (cfg.use_pallas and cfg.spmm_mode == "stacked" and mesh is not None
+                and mesh.shape.get("graph", 1) > 1):
+            raise ValueError(
+                "spmm_mode='stacked' cannot ride an edge partition — GSPMD "
+                "reshards the one fused custom call's inputs to replicated, "
+                "so every device would process the full edge list; use "
+                "spmm_mode='halves' (the per-shard shard_map kernels) with "
+                "graph_axis > 1")
         self._es_agg = None          # built by prepare_entity_sharding
         self._es_blocks = None
         self._edge_pallas_agg = None  # built by prepare_edge_sharding
@@ -361,6 +369,17 @@ class MGCN:
         if (not cfg.use_pallas or self.mesh is None
                 or self._edge_pallas_agg is not None):
             return
+        import logging
+        ignored = [k for k, v, dflt in (
+            ("bwd_perm", cfg.bwd_perm, "contrib"),
+            ("rel_compose", cfg.rel_compose, "gather"),
+            ("ew_impl", cfg.ew_impl, "xla")) if v != dflt]
+        if ignored:
+            logging.warning(
+                "the per-shard edge-partition kernel schedule uses the "
+                "default contrib/gather/xla paths; non-default %s are "
+                "IGNORED under graph_axis > 1 (A/B those flags single-chip)",
+                ignored)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from kgc_gcn_tpu.parallel.edge_parallel import (

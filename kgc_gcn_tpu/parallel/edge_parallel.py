@@ -80,20 +80,28 @@ def build_local_csr(half: GraphHalf, g_size: int):
     Returns arrays with a leading (G,) shard axis, to be device_put with
     ``P(graph)`` sharding on axis 0:
       ``indptr (G, N+1)``, ``sperm (G, E_loc)``, ``s_src (G, E_loc)``,
-      ``s_indptr (G, N+1)``.
+      ``s_indptr (G, N+1)``, plus the rel-sorted trio ``rperm/r_rel
+      (G, E_loc)`` and ``r_indptr (G, 2R+2)`` (the backward's d_rel routes
+      through the Pallas CSR kernel at large relation vocabularies, exactly
+      like the single-chip path).
     """
     src = np.asarray(half.src)
     dst = np.asarray(half.dst)
+    rel = np.asarray(half.rel)
     e_pad = src.shape[0]
     assert e_pad % g_size == 0, (e_pad, g_size)
     e_loc = e_pad // g_size
     n_rows = np.asarray(half.indptr).shape[0] - 1
+    n_rel_rows = np.asarray(half.r_indptr).shape[0] - 1
     g_indptr = np.asarray(half.indptr).astype(np.int64)
 
     indptr = np.zeros((g_size, n_rows + 1), np.int32)
     sperm = np.zeros((g_size, e_loc), np.int32)
     s_src = np.zeros((g_size, e_loc), np.int32)
     s_indptr = np.zeros((g_size, n_rows + 1), np.int32)
+    rperm = np.zeros((g_size, e_loc), np.int32)
+    r_rel = np.zeros((g_size, e_loc), np.int32)
+    r_indptr = np.zeros((g_size, n_rel_rows + 1), np.int32)
     for i in range(g_size):
         lo = i * e_loc
         indptr[i] = np.clip(g_indptr - lo, 0, e_loc)
@@ -102,8 +110,14 @@ def build_local_csr(half: GraphHalf, g_size: int):
         sperm[i] = order
         s_src[i] = ls[order]
         s_indptr[i, 1:] = np.cumsum(np.bincount(ls, minlength=n_rows))
+        lr = rel[lo: lo + e_loc]
+        rorder = np.argsort(lr, kind="stable").astype(np.int32)
+        rperm[i] = rorder
+        r_rel[i] = lr[rorder]
+        r_indptr[i, 1:] = np.cumsum(np.bincount(lr, minlength=n_rel_rows))
     return (jnp.asarray(indptr), jnp.asarray(sperm),
-            jnp.asarray(s_src), jnp.asarray(s_indptr))
+            jnp.asarray(s_src), jnp.asarray(s_indptr),
+            jnp.asarray(rperm), jnp.asarray(r_rel), jnp.asarray(r_indptr))
 
 
 def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
@@ -134,7 +148,7 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
     def local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                  indptr, sperm, s_src, s_indptr):
+                  indptr, sperm, s_src, s_indptr, rdata):
         msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
         if msg_dtype != "float32":
             msg = msg.astype(msg_dtype)
@@ -142,14 +156,15 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
                                   interpret=interpret)[:, :d_orig]
 
     def local_fwd(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                  indptr, sperm, s_src, s_indptr):
+                  indptr, sperm, s_src, s_indptr, rdata):
         out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                        indptr, sperm, s_src, s_indptr)
+                        indptr, sperm, s_src, s_indptr, rdata)
         return out, (x, rel_all, etab, src, dst, rel, norm,
-                     sperm, s_src, s_indptr)
+                     sperm, s_src, s_indptr, rdata)
 
     def local_bwd(d_orig, res, g):
-        x, rel_all, etab, src, dst, rel, norm, sperm, s_src, s_indptr = res
+        (x, rel_all, etab, src, dst, rel, norm,
+         sperm, s_src, s_indptr, rdata) = res
         xg = x[src]
         rg = rel_all[rel]
         gd = g[dst] * norm[:, None]
@@ -162,9 +177,12 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
         dx = segment_sum_pallas(
             contrib[sperm], s_src, s_indptr, x.shape[0],
             interpret=interpret)[:, :d_orig]
+        # rdata = per-shard (rperm, r_indptr, r_rel): large relation
+        # vocabularies route through the Pallas CSR kernel, same as the
+        # single-chip backward (spmm_pallas._agg_bwd)
         d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
-                                 interpret=interpret)[:, :d_orig]
-        return (dx, d_rel, d_etab) + (None,) * 8
+                                 rdata=rdata, interpret=interpret)[:, :d_orig]
+        return (dx, d_rel, d_etab) + (None,) * 9
 
     local_agg.defvjp(local_fwd, local_bwd)
 
@@ -172,16 +190,18 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(rep, rep, edge, edge, edge, edge, edge,
-                      shardwise, shardwise, shardwise, shardwise),
+                      shardwise, shardwise, shardwise, shardwise,
+                      shardwise, shardwise, shardwise),
             out_specs=rep,
             # pallas_call's out_shape carries no vma annotation — use the
             # classic (unchecked) shard_map semantics for this region
             check_vma=False,
         )
         def _agg(x, rel_all, etab, src, dst, rel, norm,
-                 indptr, sperm, s_src, s_indptr):
+                 indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr):
             out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                            indptr[0], sperm[0], s_src[0], s_indptr[0])
+                            indptr[0], sperm[0], s_src[0], s_indptr[0],
+                            (rperm[0], r_indptr[0], r_rel[0]))
             return jax.lax.psum(out, GRAPH_AXIS)
         return _agg
 
@@ -191,9 +211,10 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
         d_orig = x.shape[1]
         if d_orig not in cache:
             cache[d_orig] = make(d_orig)
-        indptr, sperm, s_src, s_indptr = local_csr
+        indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr = local_csr
         return cache[d_orig](x, rel_all, etab, half.src, half.dst, half.rel,
-                             half.norm, indptr, sperm, s_src, s_indptr)
+                             half.norm, indptr, sperm, s_src, s_indptr,
+                             rperm, r_rel, r_indptr)
 
     return agg
 

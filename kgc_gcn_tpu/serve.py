@@ -170,7 +170,10 @@ def serve_stream(predictor: Predictor, stream, k: int = 10):
                 "topk": predictor.query_names(parts[0], parts[1], k=k,
                                               head=head)})
         except KeyError as e:
-            yield json.dumps({"error": str(e)})
+            # e.args[0] is the message; str(KeyError) adds quoting
+            yield json.dumps({"error": str(e.args[0]) if e.args else str(e)})
+        except Exception as e:   # keep the long-running stream alive
+            yield json.dumps({"error": f"{type(e).__name__}: {e}"})
 
 
 def serve_file(predictor: Predictor, path: str, k: int = 10,

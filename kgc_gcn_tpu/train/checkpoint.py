@@ -57,14 +57,13 @@ def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
         import orbax.checkpoint as ocp
         path = os.path.join(os.path.abspath(ckpt_dir), ORBAX_DIR)
         ckptr = ocp.StandardCheckpointer()
-        tmp = path + ".tmp"
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        ckptr.save(tmp, {"tree": tree,
-                         _MEASURE_KEY: jax.numpy.asarray(measure)})
+        # force=True delegates overwrite + atomic tmp-then-finalize-rename to
+        # orbax, which coordinates across processes (a hand-rolled rmtree/
+        # os.replace here would race N hosts on a shared filesystem)
+        ckptr.save(path, {"tree": tree,
+                          _MEASURE_KEY: jax.numpy.asarray(measure)},
+                   force=True)
         ckptr.wait_until_finished()
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
         return path
     path = os.path.join(ckpt_dir, CKPT_NAME)
     if jax.process_index() != 0:
@@ -143,13 +142,18 @@ def _async_ckptr():
 
 def _promote_pending() -> None:
     """After the in-flight write committed, atomically replace the previous
-    periodic checkpoint — a crash mid-write never loses the last good one."""
+    periodic checkpoint — a crash mid-write never loses the last good one.
+    Filesystem promotion is process-0-only (every process calls the orbax
+    save collectively, but exactly one may move directories on a shared FS).
+    """
     global _PENDING
     if _PENDING is None:
         return
     import shutil
     tmp, final = _PENDING
     _PENDING = None
+    if jax.process_index() != 0:
+        return
     if os.path.isdir(tmp):
         # rename-aside so one loadable checkpoint exists at every instant:
         # old -> .old, tmp -> final, then drop .old (a crash between the two
@@ -182,8 +186,9 @@ def save_checkpoint_async(ckpt_dir: str, tree: Any, measure: float) -> str:
     ckptr = _async_ckptr()
     ckptr.wait_until_finished()             # join the previous in-flight save
     _promote_pending()
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
+    if jax.process_index() == 0:            # shared-FS cleanup: one actor
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     ckptr.save(tmp, {"tree": tree, _MEASURE_KEY: jax.numpy.asarray(measure)})
     _PENDING = (tmp, path)
     return path

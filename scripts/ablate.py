@@ -85,9 +85,9 @@ def main(mode="pallas"):
     # ---- full step (matches bench.py)
     @jax.jit
     def full(p, s, o):
-        p, s, o, loss = trainer._train_epoch(
+        p, s, o, losses = trainer._train_epoch(
             p, s, o, graph, key, lr, idx, mask, bank.queries, bank.label_idx)
-        return loss
+        return losses.mean()   # _train_epoch returns per-step losses
     results["full"] = timed(full, params, state, opt_state)
 
     # ---- forward only
