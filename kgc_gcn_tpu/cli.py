@@ -116,7 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
-    p.add_argument("--spmm_mode", default="halves", choices=["halves", "stacked"])
+    p.add_argument("--spmm_mode", default="halves",
+                   choices=["halves", "stacked", "stacked_xla"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the encoder in the backward "
                         "(memory for recompute; see config.py)")

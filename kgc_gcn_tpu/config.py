@@ -90,7 +90,12 @@ class Config:
                                      # TPU layout: its backward alone was the
                                      # single most expensive op of the step)
     use_pallas: bool = False         # fused Pallas SpMM for relational aggregation
-    spmm_mode: str = "halves"        # halves | stacked — Pallas launch layout.
+    spmm_mode: str = "halves"        # halves | stacked | stacked_xla —
+                                     # Pallas launch layout.
+                                     # stacked_xla: ONE launch per pass for
+                                     # both halves with XLA-precomposed
+                                     # messages (launch merging without the
+                                     # in-VMEM compose).
                                      # halves: per-direction kernels over XLA-
                                      # precomposed messages (fastest measured on
                                      # v5e single chip: the in-kernel compose's

@@ -137,10 +137,10 @@ class MGCN:
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
                     "single-layer mult XLA schedule only; incompatible "
                     f"flags: {bad}")
-        if (cfg.use_pallas and cfg.spmm_mode == "stacked" and mesh is not None
+        if (cfg.use_pallas and cfg.spmm_mode != "halves" and mesh is not None
                 and mesh.shape.get("graph", 1) > 1):
             raise ValueError(
-                "spmm_mode='stacked' cannot ride an edge partition — GSPMD "
+                f"spmm_mode={cfg.spmm_mode!r} cannot ride an edge partition — GSPMD "
                 "reshards the one fused custom call's inputs to replicated, "
                 "so every device would process the full edge list; use "
                 "spmm_mode='halves' (the per-shard shard_map kernels) with "
@@ -245,6 +245,20 @@ class MGCN:
                 x, rel_all, et_out, h_out, self.n_ent)
             in_res = in_agg @ c.in_weight
             out_res = out_agg @ c.out_weight
+        elif cfg.use_pallas and cfg.spmm_mode == "stacked_xla":
+            # one launch for both halves, XLA-precomposed messages (the
+            # d_rel/d_etab gradients split per half exactly as the per-half
+            # path; see ops/spmm_pallas.aggregate_stacked_xla)
+            from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_xla
+            in_agg, out_agg = aggregate_stacked_xla(
+                x, rel_all,
+                params.edge_embeddings.reshape(2 * self.e_pad, d_in),
+                graph.stacked, self.n_ent,
+                jax.default_backend() != "tpu",
+                msg_dtype=cfg.compute_dtype,
+                rel_onehot=cfg.rel_compose != "gather")
+            in_res = mm(in_agg, c.in_weight, cfg.compute_dtype)
+            out_res = mm(out_agg, c.out_weight, cfg.compute_dtype)
         elif cfg.use_pallas and cfg.spmm_mode == "stacked":
             # fused both-halves kernel over the stacked view: one gather, one
             # launch; aggregates come back 128-wide with zero pad columns, so

@@ -624,6 +624,34 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
 _aggregate_cvjp.defvjp(_agg_fwd, _agg_bwd)
 
 
+def aggregate_stacked_xla(x, rel_all, etab2, stacked, n_ent: int,
+                          interpret: bool = False,
+                          msg_dtype: str = "float32",
+                          rel_onehot: bool = False):
+    """Both halves through ONE kernel launch with XLA-precomposed messages.
+
+    The in-VMEM-compose stacked kernel (aggregate_stacked_pallas) lost to the
+    per-half schedule single-chip because its extra DMA streams + per-chunk
+    relation matmuls cost more than the XLA passes they replaced
+    (BENCH_NOTES).  This variant keeps XLA's compose fusion and only merges
+    the LAUNCHES: the stacked view's dst ids live in [0, 2N) and the
+    concatenated halves stay globally dst-sorted, so the per-half custom VJP
+    applies verbatim with ``n_rows = 2N`` — one forward kernel, one backward
+    d_x kernel (the stacked src-sorted permutation sums BOTH halves'
+    cotangents into x in a single pass), one d_rel one-hot.
+
+    ``etab2`` is the whole positional table as (2*E_pad, d) — stacked
+    position k is table row k.  Returns ``(in_agg, out_agg)`` each (N, d).
+    """
+    out = _aggregate_cvjp(
+        x, rel_all, etab2, stacked.src, stacked.dst2, stacked.rel,
+        stacked.norm, stacked.indptr, stacked.sperm, stacked.s_indptr,
+        stacked.s_src, (stacked.rperm, stacked.r_indptr, stacked.r_rel),
+        (None, None, None),   # src-order operand metadata: contrib mode only
+        2 * n_ent, interpret, msg_dtype, rel_onehot, False, "contrib")
+    return out[:n_ent], out[n_ent:]
+
+
 def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
                           interpret: bool = False,
                           msg_dtype: str = "float32",

@@ -115,6 +115,49 @@ def test_aggregate_half_bwd_perm_variants_match_contrib(toy, rel_onehot,
                                        rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_aggregate_stacked_xla_matches_halves(toy):
+    """One-launch XLA-precomposed stacked aggregation == per-half results,
+    forward and every gradient (both tables' slices)."""
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+    from kgc_gcn_tpu.ops.spmm_pallas import aggregate_stacked_xla
+
+    ds, g, _ = toy
+    rng = np.random.default_rng(31)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    et2 = jnp.asarray(rng.normal(size=(2 * g.e_pad, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    in_a, out_a = aggregate_stacked_xla(x, rel, et2, g.stacked,
+                                        ds.num_entity, _interp())
+    np.testing.assert_allclose(
+        np.asarray(in_a),
+        np.asarray(aggregate_half(x, rel, et2[: g.e_pad], g.inb,
+                                  ds.num_entity)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_a),
+        np.asarray(aggregate_half(x, rel, et2[g.e_pad:], g.outb,
+                                  ds.num_entity)), rtol=1e-5, atol=1e-5)
+
+    def loss_stacked(x, rel, et2):
+        a, b = aggregate_stacked_xla(x, rel, et2, g.stacked, ds.num_entity,
+                                     _interp())
+        return jnp.sum(a * w) + jnp.sum(b * w * 0.5)
+
+    def loss_plain(x, rel, et2):
+        a = aggregate_half(x, rel, et2[: g.e_pad], g.inb, ds.num_entity)
+        b = aggregate_half(x, rel, et2[g.e_pad:], g.outb, ds.num_entity)
+        return jnp.sum(a * w) + jnp.sum(b * w * 0.5)
+
+    g1 = jax.grad(loss_stacked, argnums=(0, 1, 2))(x, rel, et2)
+    g2 = jax.grad(loss_plain, argnums=(0, 1, 2))(x, rel, et2)
+    for a, b, nm in zip(g1, g2, ("x", "rel", "edge")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=nm)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_aggregate_fuzz_random_graphs(seed):
     """Kernel trust beyond the toy fixture: random entity/relation/edge
