@@ -18,6 +18,7 @@ TPU-native restructuring of the reference driver (reference main.py:49-174):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -276,6 +277,20 @@ def train_and_evaluate(
     host_rng = np.random.default_rng(seed)
     key = root_key(cfg, seed)
 
+    import json
+
+    from kgc_gcn_tpu.utils.logging import is_host_zero
+    metrics_path = (os.path.join(model_dir, "metrics.jsonl")
+                    if model_dir is not None and is_host_zero() else None)
+
+    def record(rec):
+        """Append one JSON line per epoch to <model_dir>/metrics.jsonl — the
+        machine-readable run history (train.log is the human-readable one).
+        """
+        if metrics_path is not None:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
     from kgc_gcn_tpu.utils.profiling import StepTimer
     steps_per_epoch = trainer.steps_per_epoch
     timer = StepTimer(trainer.graph.num_messages,
@@ -306,6 +321,10 @@ def train_and_evaluate(
         logging.info("Epoch %d/%d  loss=%07.5f  (%.2fs%s)",
                      epoch, cfg.max_epoch, loss, dt,
                      f", {timer.report()}" if epoch > 1 else "")
+        rec = {"epoch": epoch, "loss": round(loss, 6),
+               "lr": epoch_lr(cfg, epoch), "sec": round(dt, 3)}
+        if epoch > 1 and not profiled:
+            rec["steps_per_s"] = round(steps_per_epoch / dt, 2)
 
         if (cfg.ckpt_every > 0 and model_dir is not None
                 and epoch % cfg.ckpt_every == 0):
@@ -317,6 +336,7 @@ def train_and_evaluate(
 
         if epoch % cfg.eval_every == 0:
             val = trainer.evaluate(params, state, "valid", mark="Val")
+            rec["val"] = val
             improve = val["mrr"] - best_measure
             if improve > 0:
                 best_measure = val["mrr"]
@@ -330,12 +350,15 @@ def train_and_evaluate(
                     patience_counter = 0
             else:
                 patience_counter += 1
+            rec["best_mrr"] = round(best_measure, 6)
 
             if (cfg.patience_num > 0 and patience_counter >= cfg.patience_num
                     and epoch > cfg.min_epoch):
                 logging.info("Early stopping with best val measure: %05.3f",
                              best_measure)
+                record(rec)
                 break
+        record(rec)
 
     if cfg.ckpt_every > 0:
         wait_for_async_checkpoints()   # commit any in-flight periodic save

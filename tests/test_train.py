@@ -126,6 +126,44 @@ def test_scan_and_loop_modes_agree(setup):
     assert abs(float(jnp.mean(losses1)) - l_loop) < 1e-5
 
 
+def test_training_is_deterministic(setup):
+    """Two runs from identical state + seed produce IDENTICAL losses — the
+    determinism guarantee that stands in for race detection (SURVEY §5.2):
+    any nondeterministic reduction or stray RNG stream would break equality.
+    """
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+
+    def run():
+        p, s, o = jax.tree.map(jnp.asarray, host)
+        rng = np.random.default_rng(3)
+        out = []
+        for epoch in (1, 2):
+            p, s, o, loss = trainer.train_epoch(
+                p, s, o, epoch, rng, jax.random.PRNGKey(epoch))
+            out.append(loss)
+        return out
+
+    assert run() == run()
+
+
+def test_metrics_jsonl_written(setup, tmp_path):
+    """train_and_evaluate appends one machine-readable JSON line per epoch
+    (loss/lr/steps-per-s, plus val metrics + best on eval epochs)."""
+    import json as _json
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    train_and_evaluate(trainer, params, state, opt_state, str(tmp_path),
+                       seed=0)
+    lines = [(tmp_path / "metrics.jsonl").read_text().splitlines()]
+    recs = [_json.loads(l) for l in lines[0]]
+    assert [r["epoch"] for r in recs] == list(range(1, cfg.max_epoch + 1))
+    assert all("loss" in r and "lr" in r for r in recs)
+    evald = [r for r in recs if r["epoch"] % cfg.eval_every == 0]
+    assert evald and all("val" in r and "best_mrr" in r for r in evald)
+    assert set(evald[0]["val"]) == {"mr", "mrr", "hits@1", "hits@3",
+                                    "hits@10"}
+
+
 def test_remat_step_matches_plain(setup):
     """--remat (jax.checkpoint around the encoder) changes memory, not math:
     one train step produces the same loss and parameters."""
