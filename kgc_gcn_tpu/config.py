@@ -180,8 +180,9 @@ class Config:
                                      # compute/transfer overlap
                                      # (parallel/edge_parallel.py).  Requires
                                      # graph_axis > 1, model=mgcn,
-                                     # num_layers=1, composition=mult,
-                                     # use_pallas=False.  BatchNorm stays
+                                     # composition=mult, use_pallas=False;
+                                     # depth layers chain through the same
+                                     # sharded schedules.  BatchNorm stays
                                      # exact: activations stay row-sharded
                                      # through BN and XLA inserts the
                                      # cross-shard moment reductions.

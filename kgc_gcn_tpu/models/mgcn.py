@@ -125,7 +125,6 @@ class MGCN:
                     "with parallel.mesh.make_mesh and pass mesh= (the CLI "
                     "does this from --graph_axis)")
             unsupported = [
-                ("num_layers", cfg.num_layers != 1),
                 ("use_pallas", cfg.use_pallas),
                 ("edge_sample_size", cfg.edge_sample_size > 0),
                 ("composition", cfg.composition != "mult"),
@@ -135,7 +134,7 @@ class MGCN:
             if bad:
                 raise ValueError(
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
-                    "single-layer mult XLA schedule only; incompatible "
+                    "mult-composition XLA schedule only; incompatible "
                     f"flags: {bad}")
         if (cfg.use_pallas and cfg.spmm_mode != "halves" and mesh is not None
                 and mesh.shape.get("graph", 1) > 1):
@@ -316,7 +315,14 @@ class MGCN:
                                            params.extra_edge_embeddings)):
             x_k = dropout(all_ent, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
             rel_k = jnp.concatenate([all_rel, ck.loop_rel], axis=0)
-            in_agg, out_agg = self._agg_halves(x_k, rel_k, et_k, graph)
+            if cfg.entity_sharded != "none":
+                # the depth layers chain through the same row-sharded
+                # schedules (same graph -> same ring blocks; the layer's own
+                # (2, E_pad, d_out) table shards along E_pad like layer 1's)
+                in_agg, out_agg = self._agg_entity_sharded(
+                    x_k, rel_k, et_k, graph)
+            else:
+                in_agg, out_agg = self._agg_halves(x_k, rel_k, et_k, graph)
             in_res = mm(in_agg, ck.in_weight, cfg.compute_dtype)
             out_res = mm(out_agg, ck.out_weight, cfg.compute_dtype)
             loop_res = mm(loop_messages(x_k, ck.loop_rel, ck.loop_edge,

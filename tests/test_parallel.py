@@ -402,6 +402,70 @@ def test_pallas_train_step_under_mesh_matches_single_device(toy, toy_cfg,
                                    rtol=2e-2, atol=1e-3)
 
 
+def test_entity_sharded_multilayer_matches_single_device(toy, toy_cfg,
+                                                         eight_devices):
+    """Depth layers chain through the entity-sharded schedules: a 2-layer
+    encoder's full train step under --entity_sharded ring == single-device."""
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(num_filter=2, batch_size=8, num_layers=2)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+    batch = 8
+
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = _one_step(t1, params, state, opt_state, g,
+                               banks["train"], batch)
+
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    cfg2 = cfg.replace(entity_sharded="ring", data_axis=2, graph_axis=4)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation,
+                         ds.num_edge, e_pad=g.e_pad, mesh=mesh)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        t2 = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+        p2, s2, o2, l2 = _one_step(
+            t2, ps, ss, os_, gs, banks["train"], batch,
+            put=lambda x: jax.device_put(x, bsp))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
+def test_negative_sampling_trains_under_mesh(toy, toy_cfg, eight_devices):
+    """The negative-sampling trainer's scan epoch runs under the mesh."""
+    from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(num_filter=2, batch_size=8, decoder="distmult",
+                          train_mode="negative_sampling", data_axis=2,
+                          graph_axis=4)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    mesh = make_mesh(data=2, graph=4)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        t = NegativeSamplingTrainer(cfg, model, gs, banks, mesh=mesh)
+        ps, ss, os_, loss = t.train_epoch(
+            ps, ss, os_, 1, np.random.default_rng(0), jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+
+
 def test_entity_sharded_eval_matches_single_device(toy, toy_cfg,
                                                    eight_devices):
     """Filtered-rank evaluation through the entity-sharded encoder == the
