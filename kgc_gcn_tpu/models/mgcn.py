@@ -136,6 +136,13 @@ class MGCN:
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
                     "mult-composition XLA schedule only; incompatible "
                     f"flags: {bad}")
+        if (cfg.use_pallas and cfg.spmm_mode != "halves"
+                and (cfg.bwd_perm != "contrib" or cfg.ew_impl != "xla")):
+            import logging
+            logging.warning(
+                "spmm_mode=%s uses the contrib backward and XLA elementwise "
+                "paths; non-default bwd_perm/ew_impl are IGNORED (A/B those "
+                "flags with spmm_mode=halves)", cfg.spmm_mode)
         if (cfg.use_pallas and cfg.spmm_mode != "halves" and mesh is not None
                 and mesh.shape.get("graph", 1) > 1):
             raise ValueError(

@@ -291,6 +291,13 @@ def train_and_evaluate(
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
+    # run-start marker: the file appends across runs in the same model_dir
+    # (retrain, restore+continue), so consumers split runs on these lines
+    # instead of misreading duplicate epoch numbers
+    record({"run_start": True, "dataset": cfg.dataset,
+            "max_epoch": cfg.max_epoch, "seed": seed,
+            "restored_best": saved_best})
+
     from kgc_gcn_tpu.utils.profiling import StepTimer
     steps_per_epoch = trainer.steps_per_epoch
     timer = StepTimer(trainer.graph.num_messages,

@@ -402,10 +402,12 @@ def test_pallas_train_step_under_mesh_matches_single_device(toy, toy_cfg,
                                    rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.parametrize("schedule", ["gather", "ring"])
 def test_entity_sharded_multilayer_matches_single_device(toy, toy_cfg,
-                                                         eight_devices):
+                                                         eight_devices,
+                                                         schedule):
     """Depth layers chain through the entity-sharded schedules: a 2-layer
-    encoder's full train step under --entity_sharded ring == single-device."""
+    encoder's full train step under --entity_sharded == single-device."""
     ds, g, banks = toy
     cfg = toy_cfg.replace(num_filter=2, batch_size=8, num_layers=2)
     model = build_model(cfg, ds.num_entity, ds.num_relation,
@@ -421,7 +423,7 @@ def test_entity_sharded_multilayer_matches_single_device(toy, toy_cfg,
 
     params, state, opt_state = jax.tree.map(jnp.asarray, host)
     mesh = make_mesh(data=2, graph=4)
-    cfg2 = cfg.replace(entity_sharded="ring", data_axis=2, graph_axis=4)
+    cfg2 = cfg.replace(entity_sharded=schedule, data_axis=2, graph_axis=4)
     model2 = build_model(cfg2, ds.num_entity, ds.num_relation,
                          ds.num_edge, e_pad=g.e_pad, mesh=mesh)
     with mesh:

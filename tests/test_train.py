@@ -154,8 +154,10 @@ def test_metrics_jsonl_written(setup, tmp_path):
     ds, cfg, model, trainer, params, state, opt_state = setup
     train_and_evaluate(trainer, params, state, opt_state, str(tmp_path),
                        seed=0)
-    lines = [(tmp_path / "metrics.jsonl").read_text().splitlines()]
-    recs = [_json.loads(l) for l in lines[0]]
+    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+    all_recs = [_json.loads(l) for l in lines]
+    assert all_recs[0].get("run_start") is True   # run delimiter
+    recs = [r for r in all_recs if "epoch" in r]
     assert [r["epoch"] for r in recs] == list(range(1, cfg.max_epoch + 1))
     assert all("loss" in r and "lr" in r for r in recs)
     evald = [r for r in recs if r["epoch"] % cfg.eval_every == 0]
