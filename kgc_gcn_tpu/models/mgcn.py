@@ -125,7 +125,10 @@ class MGCN:
                     "with parallel.mesh.make_mesh and pass mesh= (the CLI "
                     "does this from --graph_axis)")
             unsupported = [
-                ("use_pallas", cfg.use_pallas),
+                # the Pallas kernel needs contiguous per-shard CSR ranges;
+                # the ring's per-held-shard blocks are scattered subsets
+                ("use_pallas", cfg.use_pallas
+                 and cfg.entity_sharded != "gather"),
                 ("edge_sample_size", cfg.edge_sample_size > 0),
                 ("composition", cfg.composition != "mult"),
                 ("agg_schedule", cfg.agg_schedule != "fused"),
@@ -134,8 +137,8 @@ class MGCN:
             if bad:
                 raise ValueError(
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
-                    "mult-composition XLA schedule only; incompatible "
-                    f"flags: {bad}")
+                    "mult composition only (and use_pallas only with the "
+                    f"gather schedule); incompatible flags: {bad}")
         if (cfg.use_pallas and cfg.spmm_mode != "halves"
                 and (cfg.bwd_perm != "contrib" or cfg.ew_impl != "xla")):
             import logging
@@ -153,6 +156,7 @@ class MGCN:
                 "graph_axis > 1")
         self._es_agg = None          # built by prepare_entity_sharding
         self._es_blocks = None
+        self._es_csr = None          # gather+pallas per-shard CSR metadata
         self._edge_pallas_agg = None  # built by prepare_edge_sharding
         self._edge_csr = None
 
@@ -362,6 +366,7 @@ class MGCN:
             return
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from kgc_gcn_tpu.parallel.distributed import put_global
         from kgc_gcn_tpu.parallel.edge_parallel import (
             build_ring_blocks, make_entity_sharded_aggregate,
             make_ring_aggregate)
@@ -369,15 +374,28 @@ class MGCN:
         g = self.mesh.shape[GRAPH_AXIS]
         if g < 2:
             raise ValueError("entity_sharded needs a graph axis > 1")
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
         if cfg.entity_sharded == "ring":
             agg = make_ring_aggregate(self.mesh, self.n_ent)
-            row = NamedSharding(self.mesh, P(GRAPH_AXIS))
             blocks = {}
             for name in ("inb", "outb"):
                 b, m = build_ring_blocks(getattr(graph, name), g, agg.n_pad)
-                from kgc_gcn_tpu.parallel.distributed import put_global
                 blocks[name] = (put_global(b, row), put_global(m, row))
             self._es_blocks = blocks
+        elif cfg.use_pallas:
+            # both scaling axes + the MXU kernel path: per-shard local CSR
+            # over the padded row space (edge_parallel.py)
+            from kgc_gcn_tpu.parallel.edge_parallel import (
+                build_local_csr, make_entity_sharded_aggregate_pallas)
+            mesh_platform = next(iter(self.mesh.devices.flat)).platform
+            agg = make_entity_sharded_aggregate_pallas(
+                self.mesh, self.n_ent, mesh_platform != "tpu",
+                cfg.compute_dtype)
+            put = lambda csr: tuple(put_global(a, row) for a in csr)
+            self._es_csr = {
+                name: put(build_local_csr(getattr(graph, name), g,
+                                          n_rows_out=agg.n_pad))
+                for name in ("inb", "outb")}
         else:
             agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
         self._es_agg = agg
@@ -453,6 +471,11 @@ class MGCN:
                                   b_in, m_in)
             out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
                                    b_out, m_out)
+        elif self._es_csr is not None:   # gather schedule on the kernel path
+            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb,
+                                  self._es_csr["inb"])
+            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
+                                   self._es_csr["outb"])
         else:
             in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb)
             out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb)

@@ -67,7 +67,56 @@ def make_sharded_aggregate(mesh: Mesh, n_ent: int):
     return agg
 
 
-def build_local_csr(half: GraphHalf, g_size: int):
+def make_local_agg(n_rows: int, msg_dtype: str, interpret: bool):
+    """Per-shard compose + Pallas segment-sum with a custom VJP — the local
+    building block shared by the edge-partitioned (n_rows = N) and
+    entity-sharded (n_rows = N_pad) schedules.  Mirrors the single-chip
+    backward: d_x via the kernel over the local src-sorted permutation,
+    d_rel via _segment_sum_few (one-hot MXU / rel-sorted kernel), d_etab
+    dense and resident."""
+    from kgc_gcn_tpu.ops.spmm_pallas import (
+        _segment_sum_few, segment_sum_pallas)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+    def local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                  indptr, sperm, s_src, s_indptr, rdata):
+        msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
+        if msg_dtype != "float32":
+            msg = msg.astype(msg_dtype)
+        return segment_sum_pallas(msg, dst, indptr, n_rows,
+                                  interpret=interpret)[:, :d_orig]
+
+    def local_fwd(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                  indptr, sperm, s_src, s_indptr, rdata):
+        out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                        indptr, sperm, s_src, s_indptr, rdata)
+        return out, (x, rel_all, etab, src, dst, rel, norm,
+                     sperm, s_src, s_indptr, rdata)
+
+    def local_bwd(d_orig, res, g):
+        (x, rel_all, etab, src, dst, rel, norm,
+         sperm, s_src, s_indptr, rdata) = res
+        xg = x[src]
+        rg = rel_all[rel]
+        gd = g[dst] * norm[:, None]
+        contrib = gd * rg * etab
+        d_rel_in = gd * xg * etab
+        d_etab = gd * xg * rg
+        if msg_dtype != "float32":
+            contrib = contrib.astype(msg_dtype)
+            d_rel_in = d_rel_in.astype(msg_dtype)
+        dx = segment_sum_pallas(
+            contrib[sperm], s_src, s_indptr, x.shape[0],
+            interpret=interpret)[:, :d_orig]
+        d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
+                                 rdata=rdata, interpret=interpret)[:, :d_orig]
+        return (dx, d_rel, d_etab) + (None,) * 9
+
+    local_agg.defvjp(local_fwd, local_bwd)
+    return local_agg
+
+
+def build_local_csr(half: GraphHalf, g_size: int, n_rows_out=None):
     """Per-shard CSR metadata for running the Pallas segment-sum kernel on
     each device's LOCAL edge slice (host-side, static graph).
 
@@ -92,8 +141,16 @@ def build_local_csr(half: GraphHalf, g_size: int):
     assert e_pad % g_size == 0, (e_pad, g_size)
     e_loc = e_pad // g_size
     n_rows = np.asarray(half.indptr).shape[0] - 1
+    if n_rows_out is not None:
+        # entity-sharded use: the kernel's row space is the padded N_pad
+        # (psum_scatter needs an axis-divisible row count) — extend the CSR
+        # pointers with empty rows
+        assert n_rows_out >= n_rows
+        n_rows = n_rows_out
     n_rel_rows = np.asarray(half.r_indptr).shape[0] - 1
     g_indptr = np.asarray(half.indptr).astype(np.int64)
+    g_indptr = np.concatenate(
+        [g_indptr, np.full(n_rows + 1 - len(g_indptr), g_indptr[-1])])
 
     indptr = np.zeros((g_size, n_rows + 1), np.int32)
     sperm = np.zeros((g_size, e_loc), np.int32)
@@ -139,52 +196,11 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
     Returns ``agg(x, rel_all, etab, half, local_csr) -> (N, d)`` where
     ``local_csr`` comes from :func:`build_local_csr` device_put row-sharded.
     """
-    from kgc_gcn_tpu.ops.spmm_pallas import (
-        _segment_sum_few, segment_sum_pallas)
-
     edge = P(GRAPH_AXIS)
     rep = P()
     shardwise = P(GRAPH_AXIS)   # leading (G, ...) metadata axis
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-    def local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                  indptr, sperm, s_src, s_indptr, rdata):
-        msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
-        if msg_dtype != "float32":
-            msg = msg.astype(msg_dtype)
-        return segment_sum_pallas(msg, dst, indptr, n_ent,
-                                  interpret=interpret)[:, :d_orig]
-
-    def local_fwd(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                  indptr, sperm, s_src, s_indptr, rdata):
-        out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
-                        indptr, sperm, s_src, s_indptr, rdata)
-        return out, (x, rel_all, etab, src, dst, rel, norm,
-                     sperm, s_src, s_indptr, rdata)
-
-    def local_bwd(d_orig, res, g):
-        (x, rel_all, etab, src, dst, rel, norm,
-         sperm, s_src, s_indptr, rdata) = res
-        xg = x[src]
-        rg = rel_all[rel]
-        gd = g[dst] * norm[:, None]
-        contrib = gd * rg * etab
-        d_rel_in = gd * xg * etab
-        d_etab = gd * xg * rg
-        if msg_dtype != "float32":
-            contrib = contrib.astype(msg_dtype)
-            d_rel_in = d_rel_in.astype(msg_dtype)
-        dx = segment_sum_pallas(
-            contrib[sperm], s_src, s_indptr, x.shape[0],
-            interpret=interpret)[:, :d_orig]
-        # rdata = per-shard (rperm, r_indptr, r_rel): large relation
-        # vocabularies route through the Pallas CSR kernel, same as the
-        # single-chip backward (spmm_pallas._agg_bwd)
-        d_rel = _segment_sum_few(d_rel_in, rel, rel_all.shape[0],
-                                 rdata=rdata, interpret=interpret)[:, :d_orig]
-        return (dx, d_rel, d_etab) + (None,) * 9
-
-    local_agg.defvjp(local_fwd, local_bwd)
+    local_agg = make_local_agg(n_ent, msg_dtype, interpret)
 
     def make(d_orig):
         @functools.partial(
@@ -263,6 +279,67 @@ def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int):
     def agg(x_sharded, rel_all, etab, half: GraphHalf):
         return _agg(x_sharded, rel_all, etab,
                     half.src, half.dst, half.rel, half.norm)
+
+    agg.n_pad = n_pad
+    return agg
+
+
+def make_entity_sharded_aggregate_pallas(mesh: Mesh, n_ent: int,
+                                         interpret: bool,
+                                         msg_dtype: str = "float32"):
+    """Entity-sharded (all_gather + psum_scatter) aggregation with the LOCAL
+    segment-sum running through the Pallas MXU kernel — the combination of
+    both scaling axes: entity activations row-sharded over ``graph`` AND the
+    per-shard edge work on the kernel path.
+
+    Row space is ``n_pad`` (axis-divisible) throughout: the local CSR must be
+    built with ``build_local_csr(half, G, n_rows_out=n_pad)``.  Gradients
+    flow through the kernel's custom VJP locally and the collectives'
+    transposes globally (psum_scatter^T = all_gather, all_gather^T =
+    psum_scatter).
+
+    Returns ``agg(x_sharded (n_pad, d) P(graph), rel_all, etab, half,
+    local_csr) -> (n_pad, d) row-sharded``.
+    """
+    g_size = mesh.shape[GRAPH_AXIS]
+    n_pad = -(-n_ent // g_size) * g_size
+
+    edge = P(GRAPH_AXIS)
+    rep = P()
+    row = P(GRAPH_AXIS)
+    shardwise = P(GRAPH_AXIS)
+
+    local_agg = make_local_agg(n_pad, msg_dtype, interpret)
+
+    def make(d_orig):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(row, rep, edge, edge, edge, edge, edge,
+                      shardwise, shardwise, shardwise, shardwise,
+                      shardwise, shardwise, shardwise),
+            out_specs=row,
+            check_vma=False,   # pallas out_shape carries no vma annotation
+        )
+        def _agg(x_local, rel_all, etab, src, dst, rel, norm,
+                 indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr):
+            x = jax.lax.all_gather(x_local, GRAPH_AXIS, tiled=True)
+            out = local_agg(d_orig, x, rel_all, etab, src, dst, rel, norm,
+                            indptr[0], sperm[0], s_src[0], s_indptr[0],
+                            (rperm[0], r_indptr[0], r_rel[0]))
+            return jax.lax.psum_scatter(
+                out, GRAPH_AXIS, scatter_dimension=0, tiled=True)
+        return _agg
+
+    cache = {}
+
+    def agg(x_sharded, rel_all, etab, half: GraphHalf, local_csr):
+        d_orig = x_sharded.shape[1]
+        if d_orig not in cache:
+            cache[d_orig] = make(d_orig)
+        indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr = local_csr
+        return cache[d_orig](x_sharded, rel_all, etab, half.src, half.dst,
+                             half.rel, half.norm, indptr, sperm, s_src,
+                             s_indptr, rperm, r_rel, r_indptr)
 
     agg.n_pad = n_pad
     return agg

@@ -65,8 +65,10 @@ class Trainer:
             # host-side ring/gather schedule metadata (must happen outside jit)
             model.prepare_entity_sharding(graph)
         if (cfg.use_pallas and mesh is not None
+                and getattr(cfg, "entity_sharded", "none") == "none"
                 and hasattr(model, "prepare_edge_sharding")):
             # per-shard CSR metadata so Pallas kernels ride the edge partition
+            # (entity_sharded builds its own kernel schedule instead)
             model.prepare_edge_sharding(graph)
 
         self._train_epoch_jit = jax.jit(

@@ -275,15 +275,25 @@ def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
         assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
 
 
-@pytest.mark.parametrize("schedule", ["gather", "ring"])
+@pytest.mark.parametrize("schedule", ["gather", "ring", "gather+pallas"])
 def test_entity_sharded_train_step_matches_single_device(
         toy, toy_cfg, eight_devices, schedule):
     """PRODUCT-grade entity sharding: a full train step (fwd + loss + bwd +
     clip + Adam) through cfg.entity_sharded == the single-device step —
     selected purely by flags.  Covers the shard_map schedules' gradients
     (ring: ppermute/scan transposes) AND BatchNorm statistics under the
-    sharded entity axis (the SURVEY §7 hard part)."""
+    sharded entity axis (the SURVEY §7 hard part).  'gather+pallas' runs the
+    gather schedule with the per-shard MXU kernel as the local segment-sum
+    (both scaling axes on the kernel path)."""
+    use_pallas = schedule == "gather+pallas"
+    schedule = "gather" if use_pallas else schedule
     ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
+    cfg = cfg.replace(use_pallas=use_pallas)
+    if use_pallas:   # rebuild the single-device reference on the pallas path
+        model = build_model(cfg, ds.num_entity, ds.num_relation,
+                            ds.num_edge, e_pad=g.e_pad)
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt_state = make_optimizer(cfg).init(params)
     batch = 8
     host = jax.tree.map(np.asarray, (params, state, opt_state))
 
