@@ -1,0 +1,77 @@
+"""Worker process for tests/test_multiprocess.py — NOT a test module.
+
+Runs one sharded training step through the framework's real multi-process
+path: ``parallel.distributed.maybe_initialize`` (from the env the launcher
+set), ``make_mesh`` over the GLOBAL device set, ``shard_graph/shard_params``
+(which route placement through ``put_global`` —
+``jax.make_array_from_callback`` under multi-process), and the Trainer's
+jitted step.  Prints ``LOSS <value>`` on every process; the test asserts the
+processes agree with each other and with a single-process reference.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+import jax
+
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices",
+                  int(os.environ.get("KGC_MP_LOCAL_DEVICES", "2")))
+
+from kgc_gcn_tpu.parallel.distributed import maybe_initialize
+
+assert maybe_initialize(), "coordination env vars missing"
+
+import numpy as np
+import jax.numpy as jnp
+
+from kgc_gcn_tpu.config import dataset_preset
+from kgc_gcn_tpu.data.batching import make_banks
+from kgc_gcn_tpu.data.dataset import build_dataset
+from kgc_gcn_tpu.data.graph import build_graph
+from kgc_gcn_tpu.data.toy import toy_triples
+from kgc_gcn_tpu.models import build_model
+from kgc_gcn_tpu.parallel.mesh import make_mesh, shard_graph, shard_params
+from kgc_gcn_tpu.train.loop import Trainer
+from kgc_gcn_tpu.train.optim import make_optimizer
+
+
+def main() -> None:
+    train, valid, test = toy_triples(n_ent=12, n_rel=4, n_train=40)
+    ds = build_dataset("toy", train, valid, test)
+    g = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                    pad_to=8)
+    banks = make_banks(ds)
+    cfg = dataset_preset("Toy", gcn_in_dim=8, gcn_out_dim=32, k_w=4, k_h=8,
+                         num_filter=2, kernel_size=3, batch_size=8,
+                         data_axis=1, graph_axis=jax.device_count())
+
+    mesh = make_mesh(cfg.data_axis, cfg.graph_axis)
+    gs = shard_graph(g, mesh)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad, mesh=mesh)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    params = shard_params(params, mesh)
+    state = shard_params(state, mesh)
+    opt_state = shard_params(opt_state, mesh)
+
+    trainer = Trainer(cfg, model, gs, banks, mesh=mesh)
+    bank = banks["train"]
+    q = np.asarray(bank.queries[:8])
+    lbl = np.asarray(bank.label_idx[:8])
+    mask = np.ones((8,), np.float32)
+    with mesh:
+        *_, loss = trainer._train_step_jit(
+            params, state, opt_state, gs, jnp.float32(1e-3),
+            jnp.asarray(q), jnp.asarray(lbl), jnp.asarray(mask),
+            jax.random.PRNGKey(3))
+    print(f"LOSS {float(loss):.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)
