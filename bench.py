@@ -106,6 +106,10 @@ def main(mode: str = "pallas"):
         # (f32 accumulation) + bf16 moment storage
         cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16",
                           moment_dtype="bfloat16")
+    elif mode == "fb15k_sx":
+        # fastest FULL-PRECISION FB15k config: one kernel launch per pass for
+        # both halves (stacked_xla; +4% over per-half f32, BENCH_NOTES)
+        cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "stacked":
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")
     elif mode == "bf16":
