@@ -19,14 +19,23 @@ early in round 1.  Three reps, median reported.
 schedule) measured on this chip: 12.6 Medges/s.  The reference repo never
 measured throughput (SURVEY.md §6).
 
-Modes: ``python bench.py [fused|reference|pallas|stacked|bf16|fb15k|eval|
-best|fb15k_best]`` —
-default pallas (per-half kernels, f32: the fastest verified full-precision
-path).  ``stacked`` is the one-launch fused-compose layout (multi-chip
-oriented); ``bf16`` casts matmul operands to bfloat16 (f32 accumulation);
-``fb15k`` runs the pallas path at FB15k-237 scale (N=14541, R=237, E=272115);
-``eval`` measures filtered-ranking EVALUATION throughput (queries/s: encode
-once + scan decode+rank, the do_test path) instead of training.
+Modes (anything else raises — a silent fallthrough would record a wrong
+config under the requested name):
+
+  pallas (default)  per-half kernels, f32 — the fastest verified
+                    full-precision WN18RR-scale path
+  best              pallas + bf16 Adam-moment storage
+  fused             plain XLA (fused schedule, sorted segment-sum) — the
+                    pinned v0 baseline config
+  reference         naive per-edge-projection schedule (bench-only)
+  stacked           one-launch in-VMEM-compose kernel (multi-chip layout)
+  stacked_xla       one launch per pass, XLA-precomposed messages
+  bf16              pallas + bf16 matmul operands (f32 accumulation)
+  fb15k             pallas at FB15k-237 scale (N=14541, R=237, E=272115)
+  fb15k_best        fb15k + bf16 compute + bf16 moments (the FB15k record)
+  fb15k_sx          fb15k + stacked_xla (the full-precision FB15k record)
+  eval              filtered-ranking EVALUATION throughput (queries/s)
+  multichip         edge-partition scaling-efficiency harness (subprocess)
 """
 
 import json
@@ -36,12 +45,19 @@ import time
 
 import numpy as np
 
+VALID_MODES = frozenset((
+    "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
+    "fb15k", "fb15k_best", "fb15k_sx", "eval", "multichip"))
+
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
 BASELINE_EDGES_PER_S = 12.6e6
 
 
 def main(mode: str = "pallas"):
+    if mode not in VALID_MODES:
+        raise SystemExit(f"unknown bench mode {mode!r}; valid: "
+                         f"{sorted(VALID_MODES)}")
     if mode == "multichip":
         # edge-partitioning scaling-efficiency harness: runs in a SUBPROCESS
         # so it can claim a multi-device mesh (8 virtual CPU devices on this
@@ -112,6 +128,8 @@ def main(mode: str = "pallas"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "stacked":
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked")
+    elif mode == "stacked_xla":
+        cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "bf16":
         cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)

@@ -357,6 +357,19 @@ class MGCN:
 
     # -------------------------------------------- entity-sharded aggregation
 
+    def _mesh_interpret(self) -> bool:
+        """Pallas interpret mode follows the MESH devices' platform (a CPU
+        mesh can coexist with a TPU default backend — the driver's dryrun)."""
+        return next(iter(self.mesh.devices.flat)).platform != "tpu"
+
+    def _put_csr(self, csr):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.distributed import put_global
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        return tuple(put_global(a, row) for a in csr)
+
     def prepare_entity_sharding(self, graph: Graph) -> None:
         """Host-side setup for ``cfg.entity_sharded`` (must run OUTSIDE jit:
         the ring schedule's per-device block metadata is computed on the host
@@ -387,14 +400,12 @@ class MGCN:
             # over the padded row space (edge_parallel.py)
             from kgc_gcn_tpu.parallel.edge_parallel import (
                 build_local_csr, make_entity_sharded_aggregate_pallas)
-            mesh_platform = next(iter(self.mesh.devices.flat)).platform
             agg = make_entity_sharded_aggregate_pallas(
-                self.mesh, self.n_ent, mesh_platform != "tpu",
+                self.mesh, self.n_ent, self._mesh_interpret(),
                 cfg.compute_dtype)
-            put = lambda csr: tuple(put_global(a, row) for a in csr)
             self._es_csr = {
-                name: put(build_local_csr(getattr(graph, name), g,
-                                          n_rows_out=agg.n_pad))
+                name: self._put_csr(build_local_csr(
+                    getattr(graph, name), g, n_rows_out=agg.n_pad))
                 for name in ("inb", "outb")}
         else:
             agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
@@ -425,24 +436,17 @@ class MGCN:
                 "default contrib/gather/xla paths; non-default %s are "
                 "IGNORED under graph_axis > 1 (A/B those flags single-chip)",
                 ignored)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from kgc_gcn_tpu.parallel.edge_parallel import (
             build_local_csr, make_pallas_sharded_aggregate)
         from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
         g = self.mesh.shape[GRAPH_AXIS]
         if g < 2:
             return
-        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
-        from kgc_gcn_tpu.parallel.distributed import put_global
-        put = lambda csr: tuple(put_global(a, row) for a in csr)
-        self._edge_csr = {name: put(build_local_csr(getattr(graph, name), g))
-                          for name in ("inb", "outb")}
-        # interpret mode follows the MESH devices (a CPU mesh can coexist
-        # with a TPU default backend — e.g. the driver's dryrun)
-        mesh_platform = next(iter(self.mesh.devices.flat)).platform
+        self._edge_csr = {
+            name: self._put_csr(build_local_csr(getattr(graph, name), g))
+            for name in ("inb", "outb")}
         self._edge_pallas_agg = make_pallas_sharded_aggregate(
-            self.mesh, self.n_ent, mesh_platform != "tpu",
+            self.mesh, self.n_ent, self._mesh_interpret(),
             cfg.compute_dtype)
 
     def _agg_entity_sharded(self, x, rel_all, et_full, graph: Graph):

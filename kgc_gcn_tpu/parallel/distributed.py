@@ -55,6 +55,22 @@ def maybe_initialize() -> bool:
     return True
 
 
+def host_array(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to EVERY process's host.
+
+    ``np.asarray`` on an array spanning non-addressable devices raises; the
+    host-side metadata builders (ring blocks, per-shard CSR) need the full
+    edge arrays on every process.  Replicating via a jitted identity is a
+    collective — every process must call this at the same program point
+    (the prepare_* hooks run in lockstep on all processes, so they do).
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(x.sharding.mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
 def put_global(x, sharding):
     """Place a host array on a (possibly multi-host) sharding.
 

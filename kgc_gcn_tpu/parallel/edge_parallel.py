@@ -134,21 +134,22 @@ def build_local_csr(half: GraphHalf, g_size: int, n_rows_out=None):
       through the Pallas CSR kernel at large relation vocabularies, exactly
       like the single-chip path).
     """
-    src = np.asarray(half.src)
-    dst = np.asarray(half.dst)
-    rel = np.asarray(half.rel)
+    from kgc_gcn_tpu.parallel.distributed import host_array
+    src = host_array(half.src)    # halves may be sharded across PROCESSES —
+    dst = host_array(half.dst)    # np.asarray would raise on non-addressable
+    rel = host_array(half.rel)    # shards (host_array replicates first)
     e_pad = src.shape[0]
     assert e_pad % g_size == 0, (e_pad, g_size)
     e_loc = e_pad // g_size
-    n_rows = np.asarray(half.indptr).shape[0] - 1
+    n_rows = int(half.indptr.shape[0]) - 1
     if n_rows_out is not None:
         # entity-sharded use: the kernel's row space is the padded N_pad
         # (psum_scatter needs an axis-divisible row count) — extend the CSR
         # pointers with empty rows
         assert n_rows_out >= n_rows
         n_rows = n_rows_out
-    n_rel_rows = np.asarray(half.r_indptr).shape[0] - 1
-    g_indptr = np.asarray(half.indptr).astype(np.int64)
+    n_rel_rows = int(half.r_indptr.shape[0]) - 1
+    g_indptr = host_array(half.indptr).astype(np.int64)
     g_indptr = np.concatenate(
         [g_indptr, np.full(n_rows + 1 - len(g_indptr), g_indptr[-1])])
 
@@ -362,7 +363,8 @@ def build_ring_blocks(half: GraphHalf, g_size: int, n_pad: int):
     Returns arrays shaped ``(G, G, B_max)`` to be sharded ``P(graph)`` on
     axis 0.
     """
-    src = np.asarray(half.src)
+    from kgc_gcn_tpu.parallel.distributed import host_array
+    src = host_array(half.src)   # process-safe under multi-host sharding
     e_pad = src.shape[0]
     assert e_pad % g_size == 0 and n_pad % g_size == 0
     e_loc = e_pad // g_size
