@@ -94,6 +94,28 @@ def test_cli_trains_on_mesh(workdir):
     assert cfg["data_axis"] == 2 and cfg["graph_axis"] == 4
 
 
+def test_mesh_flag_validation(workdir):
+    """The mesh-shape guards fail FAST (at startup, not after epochs of
+    training or at the first eval)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    with pytest.raises(ValueError, match="entity_sharded"):
+        _run(workdir, "--dataset", "Toy", "--do_train", "--max_epoch", "1",
+             "--entity_sharded", "ring")          # needs graph_axis > 1
+    with pytest.raises(ValueError, match="batch_size"):
+        _run(workdir, "--dataset", "Toy", "--do_train", "--max_epoch", "1",
+             "--data_axis", "2", "--batch_size", "5")
+    with pytest.raises(ValueError, match="eval_batch_size"):
+        _run(workdir, "--dataset", "Toy", "--do_train", "--max_epoch", "1",
+             "--data_axis", "2", "--batch_size", "4",
+             "--eval_batch_size", "5")
+    with pytest.raises(ValueError, match="stacked"):
+        _run(workdir, "--dataset", "Toy", "--do_train", "--max_epoch", "1",
+             "--use_pallas", "--spmm_mode", "stacked",
+             "--data_axis", "1", "--graph_axis", "4", "--batch_size", "4")
+
+
 def test_cli_trains_entity_sharded(workdir):
     """--entity_sharded ring trains end-to-end from one command (activations
     row-sharded over the graph axis, ppermute-ring aggregation)."""
