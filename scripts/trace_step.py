@@ -31,7 +31,7 @@ def main(mode="pallas"):
     from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    if mode == "fb15k":
+    if mode.startswith("fb15k"):
         n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
     else:
         n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
@@ -43,10 +43,12 @@ def main(mode="pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    cfg = dataset_preset("FB15k-237" if mode == "fb15k" else "WN18RR",
+    cfg = dataset_preset("FB15k-237" if mode.startswith("fb15k") else "WN18RR",
                          batch_size=batch)
     if mode in ("pallas", "fb15k"):
         cfg = cfg.replace(use_pallas=True)
+    elif mode in ("stacked_xla", "fb15k_sx"):
+        cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
