@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "schedule; needs --graph_axis > 1)")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--experiments_dir", default="experiments")
+    p.add_argument("--compile_cache_dir", default="",
+                   help="persistent XLA compilation cache directory, shared "
+                        "across runs (compiles cost minutes on remote TPU; "
+                        "identical program shapes then load in seconds)")
     return p
 
 
@@ -150,7 +154,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "edge_sample_size remat "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
         "rel_compose bwd_perm eval_batch_size data_axis graph_axis "
-        "entity_sharded data_dir experiments_dir"
+        "entity_sharded data_dir experiments_dir compile_cache_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not
@@ -179,6 +183,15 @@ def config_from_args(args: argparse.Namespace) -> Config:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    if cfg.compile_cache_dir:
+        # persistent XLA compile cache — must be configured before the first
+        # compilation; safe to enable repeatedly with the same directory
+        os.makedirs(cfg.compile_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache_dir)
+        # cache every program (the default 1 s floor skips the tiny jitted
+        # helpers whose remote round-trip still costs seconds here)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # multi-host pods: one process per host — join the coordination service
     # BEFORE first backend use so jax.devices() is the global set (no-op

@@ -192,6 +192,12 @@ class Config:
     do_test: bool = False
     experiments_dir: str = "experiments"
     data_dir: str = "data"
+    compile_cache_dir: str = ""      # non-empty: persistent XLA compile cache
+                                     # (jax_compilation_cache_dir) shared
+                                     # across runs — remote TPU compiles cost
+                                     # 1-5 min per program shape, so re-running
+                                     # an experiment with the same shapes
+                                     # skips straight to execution
 
     @property
     def label_key(self) -> str:

@@ -4,7 +4,11 @@ Runs a few scanned training steps under ``jax.profiler.trace``, then parses the
 TensorBoard ``trace.json.gz`` and aggregates device-op durations by name so the
 hot ops are visible without TensorBoard (not installed here).
 
-Usage: python scripts/trace_step.py [pallas|fused]
+Usage: python scripts/trace_step.py [pallas|fb15k|stacked_xla|fb15k_sx|...]
+
+Any mode may carry a ``_bf16`` suffix (e.g. ``fb15k_sx_bf16``) to trace the
+same schedule with ``compute_dtype=bfloat16`` — used to localize the
+stacked_xla bf16 FB15k regression (BENCH_NOTES round 2).
 """
 
 import collections
@@ -31,6 +35,9 @@ def main(mode="pallas"):
     from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
+    bf16 = mode.endswith("_bf16")
+    if bf16:
+        mode = mode[:-5]
     if mode.startswith("fb15k"):
         n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
     else:
@@ -49,6 +56,8 @@ def main(mode="pallas"):
         cfg = cfg.replace(use_pallas=True)
     elif mode in ("stacked_xla", "fb15k_sx"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
+    if bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)

@@ -127,3 +127,24 @@ def test_cli_trains_entity_sharded(workdir):
                 "--batch_size", "4",
                 "--data_axis", "2", "--graph_axis", "4",
                 "--entity_sharded", "ring") == 0
+
+
+def test_compile_cache_dir_populates(workdir):
+    """--compile_cache_dir turns on the persistent XLA compile cache and the
+    run writes program entries into it (the TPU value: remote compiles cost
+    minutes; a re-run with identical shapes loads from disk)."""
+    import jax
+
+    cache = workdir / "xla_cache"
+    try:
+        assert _run(workdir, "--dataset", "Toy", "--do_train",
+                    "--max_epoch", "1", "--eval_every", "1",
+                    "--compile_cache_dir", str(cache)) == 0
+        entries = list(cache.rglob("*"))
+        assert any(p.is_file() for p in entries), entries
+        cfg = json.load(open(workdir / "experiments" / "Toy" / "params.json"))
+        assert cfg["compile_cache_dir"] == str(cache)  # run record carries it
+    finally:
+        # global jax config — reset so later tests compile uncached
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
