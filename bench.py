@@ -65,11 +65,20 @@ def main(mode: str = "pallas"):
         # touching this process's already-initialized backend
         import subprocess
         import sys as _sys
+        env = dict(os.environ)
+        if env.get("KGC_SCALE_PLATFORM", "cpu") != "native":
+            # CPU substrate: skip axon TPU-plugin registration entirely
+            # (sitecustomize registers it whenever PALLAS_AXON_POOL_IPS is
+            # set, and backend init then blocks on the tunnel even for a
+            # CPU-platform process — minutes-long hang when the tunnel is
+            # down; see CLAUDE.md)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
         out = subprocess.run(
             [_sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "scaling_bench.py")],
-            capture_output=True, text=True)
+            capture_output=True, text=True, env=env)
         lines = out.stdout.strip().splitlines()
         if out.returncode != 0 or not lines:
             print(out.stderr, file=_sys.stderr)   # the only diagnostic
@@ -80,6 +89,8 @@ def main(mode: str = "pallas"):
 
     import jax
     import jax.numpy as jnp
+    from kgc_gcn_tpu.utils.compile_cache import enable_compile_cache_from_env
+    enable_compile_cache_from_env()   # KGC_COMPILE_CACHE_DIR: skip recompiles
     from kgc_gcn_tpu.config import dataset_preset
     from kgc_gcn_tpu.data.batching import make_query_bank
     from kgc_gcn_tpu.data.graph import build_graph

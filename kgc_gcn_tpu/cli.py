@@ -185,13 +185,8 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
 
     if cfg.compile_cache_dir:
-        # persistent XLA compile cache — must be configured before the first
-        # compilation; safe to enable repeatedly with the same directory
-        os.makedirs(cfg.compile_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache_dir)
-        # cache every program (the default 1 s floor skips the tiny jitted
-        # helpers whose remote round-trip still costs seconds here)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from kgc_gcn_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(cfg.compile_cache_dir)
 
     # multi-host pods: one process per host — join the coordination service
     # BEFORE first backend use so jax.devices() is the global set (no-op

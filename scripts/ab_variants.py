@@ -18,7 +18,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _maybe_cache():
+    from kgc_gcn_tpu.utils.compile_cache import enable_compile_cache_from_env
+    enable_compile_cache_from_env()   # KGC_COMPILE_CACHE_DIR: skip recompiles
+
+
 def build(overrides):
+    _maybe_cache()
     import jax
     import jax.numpy as jnp
     from kgc_gcn_tpu.config import dataset_preset

@@ -28,6 +28,8 @@ STEPS = 20
 def main(mode="pallas"):
     import jax
     import jax.numpy as jnp
+    from kgc_gcn_tpu.utils.compile_cache import enable_compile_cache_from_env
+    enable_compile_cache_from_env()   # KGC_COMPILE_CACHE_DIR: skip recompiles
     from kgc_gcn_tpu.config import dataset_preset
     from kgc_gcn_tpu.data.batching import make_query_bank
     from kgc_gcn_tpu.data.graph import build_graph
