@@ -85,7 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native flags
     p.add_argument("--model", default="mgcn", choices=["mgcn", "rgcn"])
     p.add_argument("--decoder", default="conve",
-                   choices=["conve", "distmult", "transe", "complex"])
+                   choices=["conve", "distmult", "transe", "complex",
+                            "rotate"])
     p.add_argument("--num_layers", default=1, type=int)
     p.add_argument("--composition", default="mult",
                    choices=["mult", "sub", "corr"],

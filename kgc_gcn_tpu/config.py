@@ -70,6 +70,7 @@ class Config:
                                      # path, i.e. use_pallas=False)
     model: str = "mgcn"              # mgcn | rgcn
     decoder: str = "conve"           # conve | distmult | transe | complex
+                                     # | rotate
     num_layers: int = 1              # encoder depth (reference is fixed at 1)
     num_bases: int = 0               # >0: basis-decomposed relation weights (rgcn)
     num_blocks: int = 0              # >0: block-diagonal relation weights (rgcn)

@@ -388,6 +388,75 @@ def complex_score_candidates(
     return logits + params.ent_bias[cand_idx], state
 
 
+# ---------------------------------------------------------------------- RotatE
+
+def rotate_init(key: jax.Array, cfg: Config, n_ent: int
+                ) -> Tuple[TransEParams, DistMultState]:
+    del key
+    if cfg.gcn_out_dim % 2:
+        raise ValueError("RotatE needs an even gcn_out_dim (re/im split), "
+                         f"got {cfg.gcn_out_dim}")
+    return TransEParams(ent_bias=jnp.zeros(n_ent)), DistMultState()
+
+
+def _rotate_query_vec(src_emb: jax.Array, rel_emb: jax.Array) -> jax.Array:
+    """q = s ∘ e^{iθ}: rotate the complex entity embedding (re | im halves)
+    by per-dimension phases θ read from the encoder's relation output (its
+    first d/2 dims; unconstrained reals — sin/cos make them periodic, the
+    RotatE unit-modulus constraint |r|=1 holds by construction)."""
+    d = src_emb.shape[1] // 2
+    s_re, s_im = src_emb[:, :d], src_emb[:, d:]
+    theta = rel_emb[:, :d]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.concatenate([s_re * c - s_im * s, s_re * s + s_im * c], axis=1)
+
+
+def rotate_apply(
+    params: TransEParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    all_ent: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    """score(s, r, o) = -||s ∘ r - e_o||^2 + b_o, |r| = 1 (squared-L2 RotatE).
+
+    Like TransE, expanded to matmul form for the MXU: -||q||^2 + 2 q·e_o
+    - ||e_o||^2 with q the rotated subject — one (B, d) x (d, N) matmul plus
+    rank-1 row/column terms instead of a (B, N, d) broadcast difference.
+    Distance-based (column term -||e_o||^2), so like TransE it has no query
+    trunk and one-vs-all training uses the dense loss path.
+    """
+    del rngs
+    q = _rotate_query_vec(src_emb, rel_emb)                 # (B, d)
+    cross = mm(q, all_ent.T, cfg.compute_dtype)             # (B, N)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)              # (B, 1)
+    o2 = jnp.sum(all_ent * all_ent, axis=1)[None, :]        # (1, N)
+    return 2.0 * cross - q2 - o2 + params.ent_bias[None, :], state
+
+
+def rotate_score_candidates(
+    params: TransEParams,
+    state: DistMultState,
+    cfg: Config,
+    src_emb: jax.Array,
+    rel_emb: jax.Array,
+    cand_emb: jax.Array,
+    cand_idx: jax.Array,
+    *,
+    train: bool,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+) -> Tuple[jax.Array, DistMultState]:
+    del rngs
+    q = _rotate_query_vec(src_emb, rel_emb)
+    diff = q[:, None, :] - cand_emb                         # (B, K, d)
+    logits = -jnp.sum(diff * diff, axis=-1)
+    return logits + params.ent_bias[cand_idx], state
+
+
 def complex_query(
     params: ComplExParams,
     state: DistMultState,
@@ -421,6 +490,7 @@ DECODERS = {
     "distmult": (distmult_init, distmult_apply),
     "transe": (transe_init, transe_apply),
     "complex": (complex_init, complex_apply),
+    "rotate": (rotate_init, rotate_apply),
 }
 
 # decoder trunks producing the query vector h such that
@@ -440,4 +510,5 @@ CANDIDATE_SCORERS = {
     "distmult": distmult_score_candidates,
     "transe": transe_score_candidates,
     "complex": complex_score_candidates,
+    "rotate": rotate_score_candidates,
 }

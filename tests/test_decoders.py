@@ -48,13 +48,33 @@ def test_complex_matches_naive():
     np.testing.assert_allclose(np.asarray(logits), naive, rtol=1e-4, atol=1e-4)
 
 
+def test_rotate_matches_naive():
+    """RotatE MXU expansion vs the naive complex-rotation distance."""
+    cfg, params, state, apply, src, rel, ent = _setup("rotate")
+    logits, _ = apply(params, state, cfg, src, rel, ent, train=False)
+    d = src.shape[1] // 2
+    s = np.asarray(src[:, :d]) + 1j * np.asarray(src[:, d:])
+    r = np.exp(1j * np.asarray(rel[:, :d]))            # unit modulus
+    o = np.asarray(ent[:, :d]) + 1j * np.asarray(ent[:, d:])
+    naive = -(np.abs(s[:, None, :] * r[:, None, :] - o[None]) ** 2).sum(-1) \
+        + np.asarray(params.ent_bias)[None, :]
+    np.testing.assert_allclose(np.asarray(logits), naive, rtol=1e-4, atol=1e-4)
+
+
+def test_rotate_rejects_odd_dim():
+    cfg = dataset_preset("Toy", gcn_out_dim=7, decoder="rotate")
+    with pytest.raises(ValueError, match="even"):
+        DECODERS["rotate"][0](jax.random.PRNGKey(0), cfg, 5)
+
+
 def test_complex_rejects_odd_dim():
     cfg = dataset_preset("Toy", gcn_out_dim=7, decoder="complex")
     with pytest.raises(ValueError, match="even"):
         DECODERS["complex"][0](jax.random.PRNGKey(0), cfg, 5)
 
 
-@pytest.mark.parametrize("decoder", ["distmult", "transe", "complex"])
+@pytest.mark.parametrize("decoder", ["distmult", "transe", "complex",
+                                     "rotate"])
 def test_candidate_scores_match_full_logits(decoder):
     cfg, params, state, apply, src, rel, ent = _setup(decoder)
     logits, _ = apply(params, state, cfg, src, rel, ent, train=False)
@@ -78,7 +98,7 @@ def test_trunk_matches_apply(decoder):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("decoder", ["transe", "complex"])
+@pytest.mark.parametrize("decoder", ["transe", "complex", "rotate"])
 def test_train_step_smoke(decoder, toy, toy_cfg):
     """One training epoch + eval runs and is finite for each new decoder
     (transe exercises the dense-loss fallback, complex the sparse trunk)."""
@@ -91,7 +111,8 @@ def test_train_step_smoke(decoder, toy, toy_cfg):
     model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
                         e_pad=graph.e_pad)
     trainer = Trainer(cfg, model, graph, banks)
-    assert trainer.loss_impl == ("dense" if decoder == "transe" else "sparse")
+    assert trainer.loss_impl == ("sparse" if decoder == "complex"
+                                 else "dense")
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = make_optimizer(cfg).init(params)
     params, state, opt_state, loss = trainer.train_epoch(
