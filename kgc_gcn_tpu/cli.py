@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_mode", default="one_vs_all",
                    choices=["one_vs_all", "negative_sampling"])
     p.add_argument("--num_negatives", default=64, type=int)
+    p.add_argument("--neg_loss", default="bce",
+                   choices=["bce", "margin", "self_adversarial"],
+                   help="negative_sampling objective (ops/losses.py): BCE "
+                        "over 1+K logits, hinge ranking, or RotatE "
+                        "self-adversarial weighting")
+    p.add_argument("--neg_margin", default=1.0, type=float)
+    p.add_argument("--neg_adversarial_temp", default=1.0, type=float)
     p.add_argument("--edge_sample_size", default=0, type=int)
     p.add_argument("--loss_impl", default="auto",
                    choices=["auto", "dense", "sparse", "fused"],
@@ -152,6 +159,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
         "num_bases num_blocks composition train_mode num_negatives "
+        "neg_loss neg_margin neg_adversarial_temp "
         "edge_sample_size remat "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
         "rel_compose bwd_perm eval_batch_size data_axis graph_axis "

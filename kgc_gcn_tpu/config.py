@@ -78,6 +78,13 @@ class Config:
     # ---- training mode (framework extension) ----
     train_mode: str = "one_vs_all"   # one_vs_all | negative_sampling
     num_negatives: int = 64          # negatives per positive in negative_sampling mode
+    neg_loss: str = "bce"            # bce | margin | self_adversarial —
+                                     # negative_sampling objective: BCE over
+                                     # 1+K logits, hinge ranking, or the
+                                     # RotatE self-adversarial weighting
+                                     # (ops/losses.py)
+    neg_margin: float = 1.0          # γ for margin / self_adversarial
+    neg_adversarial_temp: float = 1.0  # α (softmax temperature over negatives)
     edge_sample_size: int = 0        # >0: per-step on-device edge subsampling
 
     # ---- TPU execution ----

@@ -75,6 +75,30 @@ def margin_ranking_loss(
     return jnp.sum(per * w) / denom
 
 
+def self_adversarial_loss(
+    pos_logits: jax.Array,   # (B,)
+    neg_logits: jax.Array,   # (B, K)
+    margin: float = 1.0,
+    temperature: float = 1.0,
+    row_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Self-adversarial negative-sampling loss (RotatE, Sun et al. 2019).
+
+    ``-log σ(γ + s_pos) - Σ_k p_k · log σ(-s_k - γ)`` with the negative
+    weights ``p_k = softmax(α · s_k)`` treated as constants (stop-gradient):
+    harder negatives get more weight, without feeding the weighting itself
+    back into the gradient.  Framework extension — the reference trains
+    1-vs-all only (main.py:61-62).
+    """
+    w = jax.lax.stop_gradient(
+        jax.nn.softmax(temperature * neg_logits, axis=1))      # (B, K)
+    per = (jax.nn.softplus(-(margin + pos_logits))             # -log σ(γ+s⁺)
+           + jnp.sum(w * jax.nn.softplus(neg_logits + margin), axis=1))
+    if row_mask is None:
+        return jnp.mean(per)
+    return jnp.sum(per * row_mask) / jnp.maximum(jnp.sum(row_mask), 1.0)
+
+
 def sampled_bce_with_logits(
     pos_logits: jax.Array,   # (B,)
     neg_logits: jax.Array,   # (B, K)

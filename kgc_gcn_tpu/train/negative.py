@@ -10,6 +10,10 @@ a ``(B, K, d)`` gather + batched einsum — no host RNG, no dynamic shapes.
 Uniform sampling may draw false negatives (entities that are in fact true
 objects); this is the standard convention (LCWA-free sampled training) and is
 left unfiltered.
+
+Objectives (``--neg_loss``): BCE over the 1+K logits (default), hinge margin
+ranking, or the RotatE self-adversarial weighting (softmax over negative
+scores as constant weights — ops/losses.py:self_adversarial_loss).
 """
 
 from __future__ import annotations
@@ -23,7 +27,8 @@ import numpy as np
 from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.data.batching import QueryBank, epoch_batches
 from kgc_gcn_tpu.data.graph import Graph
-from kgc_gcn_tpu.ops.losses import sampled_bce_with_logits
+from kgc_gcn_tpu.ops.losses import (
+    margin_ranking_loss, sampled_bce_with_logits, self_adversarial_loss)
 from kgc_gcn_tpu.train.loop import Trainer
 from kgc_gcn_tpu.train.optim import apply_updates_with_lr
 
@@ -38,6 +43,10 @@ class NegativeSamplingTrainer(Trainer):
 
     def __init__(self, cfg: Config, model, graph: Graph,
                  banks: Dict[str, QueryBank], mesh=None):
+        if cfg.neg_loss not in ("bce", "margin", "self_adversarial"):
+            # fail NOW, not at the first jitted step
+            raise ValueError(f"unknown neg_loss {cfg.neg_loss!r}; valid: "
+                             "bce | margin | self_adversarial")
         super().__init__(cfg, model, graph, banks, mesh)
         e = graph.n_edge
         pos = jnp.concatenate([
@@ -69,7 +78,15 @@ class NegativeSamplingTrainer(Trainer):
             logits, dec_state = self.model.score_candidates(
                 p, state, all_ent, all_rel, tri[:, 0], tri[:, 1], cand,
                 train=True, rngs=rngs)
-            loss = sampled_bce_with_logits(logits[:, 0], logits[:, 1:], mask)
+            pos_l, neg_l = logits[:, 0], logits[:, 1:]
+            if cfg.neg_loss == "margin":
+                loss = margin_ranking_loss(pos_l, neg_l, cfg.neg_margin, mask)
+            elif cfg.neg_loss == "self_adversarial":
+                loss = self_adversarial_loss(
+                    pos_l, neg_l, cfg.neg_margin, cfg.neg_adversarial_temp,
+                    mask)
+            else:
+                loss = sampled_bce_with_logits(pos_l, neg_l, mask)
             return loss, self.model.rebuild_state(state, aux, dec_state)
 
         (loss, new_state), grads = jax.value_and_grad(

@@ -188,3 +188,44 @@ def test_compose_pair_variants():
     np.testing.assert_allclose(np.asarray(compose_pair(x, r, "sub")), 1.0)
     with pytest.raises(ValueError):
         compose_pair(x, r, "bogus")
+
+
+def test_self_adversarial_loss_matches_numpy_oracle():
+    """RotatE self-adversarial objective vs a literal numpy transcription:
+    -log sigma(g + s_pos) - sum_k softmax(a*s_k) log sigma(-s_k - g)."""
+    from kgc_gcn_tpu.ops.losses import self_adversarial_loss
+
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=7).astype(np.float32)
+    neg = rng.normal(size=(7, 5)).astype(np.float32)
+    mask = np.array([1, 1, 1, 1, 1, 0, 0], np.float32)
+    g, a = 2.0, 0.7
+
+    def sigma(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    w = np.exp(a * neg) / np.exp(a * neg).sum(axis=1, keepdims=True)
+    per = -np.log(sigma(g + pos)) - (w * np.log(sigma(-neg - g))).sum(axis=1)
+    want = (per * mask).sum() / mask.sum()
+    got = float(self_adversarial_loss(
+        jnp.asarray(pos), jnp.asarray(neg), g, a, jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # no mask: plain mean
+    got_nm = float(self_adversarial_loss(jnp.asarray(pos), jnp.asarray(neg),
+                                         g, a))
+    np.testing.assert_allclose(got_nm, per.mean(), rtol=1e-5)
+
+
+def test_self_adversarial_weights_are_constants():
+    """The softmax weighting is stop-gradiented: the gradient wrt a negative
+    logit equals w_k * sigma(s_k + g) (no softmax-jacobian term)."""
+    from kgc_gcn_tpu.ops.losses import self_adversarial_loss
+
+    pos = jnp.zeros((1,))
+    neg = jnp.asarray([[0.5, -1.0]])
+    g_, a_ = 1.0, 2.0
+    grad = jax.grad(
+        lambda n: self_adversarial_loss(pos, n, g_, a_))(neg)
+    w = jax.nn.softmax(a_ * neg, axis=1)
+    want = w * jax.nn.sigmoid(neg + g_)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want), rtol=1e-5)

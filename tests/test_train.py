@@ -229,13 +229,15 @@ def test_train_and_evaluate_driver(setup, tmp_path):
     assert measure == best
 
 
-def test_negative_sampling_smoke(toy, toy_cfg):
-    """negative-sampling train mode runs and updates params."""
+@pytest.mark.parametrize("neg_loss", ["bce", "margin", "self_adversarial"])
+def test_negative_sampling_smoke(toy, toy_cfg, neg_loss):
+    """negative-sampling train mode runs and updates params under each
+    objective (--neg_loss bce|margin|self_adversarial)."""
     ds, g, banks = toy
     from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
     cfg = toy_cfg.replace(model="rgcn", decoder="distmult",
                           train_mode="negative_sampling", num_negatives=4,
-                          num_bases=2)
+                          num_bases=2, neg_loss=neg_loss)
     model = build_model(cfg, ds.num_entity, ds.num_relation,
                         ds.num_edge, e_pad=g.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
@@ -249,6 +251,16 @@ def test_negative_sampling_smoke(toy, toy_cfg):
     assert np.isfinite(loss)
     after = np.asarray(jax.tree.leaves(p)[0])
     assert not np.allclose(before, after)
+
+
+def test_negative_sampling_rejects_unknown_loss(toy, toy_cfg):
+    ds, g, banks = toy
+    from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+    cfg = toy_cfg.replace(train_mode="negative_sampling", neg_loss="nope")
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=g.e_pad)
+    with pytest.raises(ValueError, match="neg_loss"):
+        NegativeSamplingTrainer(cfg, model, g, banks)
 
 
 def test_checkpoint_orbax_roundtrip(setup, tmp_path):
