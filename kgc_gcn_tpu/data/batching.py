@@ -41,7 +41,22 @@ class QueryBank:
         return int(self.label_idx.shape[1])
 
 
-def _pad_labels(labels: List[List[int]], n_ent: int, width_to: int = 8) -> np.ndarray:
+def _pad_labels(labels, n_ent: int, width_to: int = 8) -> np.ndarray:
+    """Padded (Q, L_max) label-index matrix (pad value n_ent).
+
+    CSR ``LabelSet`` input (data/dataset.py) takes the vectorized scatter
+    path; a plain list of lists takes the python loop."""
+    from kgc_gcn_tpu.data.dataset import LabelSet
+    if isinstance(labels, LabelSet):
+        lens = np.diff(labels.offsets)
+        lmax = int(lens.max()) if len(lens) else 1
+        lmax = max(width_to, -(-max(lmax, 1) // width_to) * width_to)
+        out = np.full((len(lens), lmax), n_ent, dtype=np.int32)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        cols = (np.arange(len(labels.values), dtype=np.int64)
+                - np.repeat(labels.offsets[:-1], lens))
+        out[rows, cols] = labels.values
+        return out
     lmax = max((len(l) for l in labels), default=1)
     lmax = max(width_to, -(-lmax // width_to) * width_to)
     out = np.full((len(labels), lmax), n_ent, dtype=np.int32)
@@ -50,7 +65,7 @@ def _pad_labels(labels: List[List[int]], n_ent: int, width_to: int = 8) -> np.nd
     return out
 
 
-def make_query_bank(queries: np.ndarray, labels: List[List[int]], n_ent: int) -> QueryBank:
+def make_query_bank(queries: np.ndarray, labels, n_ent: int) -> QueryBank:
     return QueryBank(
         queries=jnp.asarray(queries, jnp.int32),
         label_idx=jnp.asarray(_pad_labels(labels, n_ent), jnp.int32),

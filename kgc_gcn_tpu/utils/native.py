@@ -77,6 +77,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.gc_group_sr2o.restype = ctypes.c_void_p
+    lib.gc_group_sr2o.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32]
+    lib.gc_group_n.restype = ctypes.c_int64
+    lib.gc_group_n.argtypes = [ctypes.c_void_p]
+    lib.gc_group_nvals.restype = ctypes.c_int64
+    lib.gc_group_nvals.argtypes = [ctypes.c_void_p]
+    lib.gc_group_copy.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    lib.gc_group_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -127,3 +141,26 @@ def build_half_native(src: np.ndarray, dst: np.ndarray, n_ent: int
                       np.ascontiguousarray(dst, np.int32),
                       e, n_ent, perm, indptr, norm)
     return perm, indptr, norm
+
+
+def group_sr2o_native(triples: np.ndarray, num_relation: int
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Single-pass sr2o grouping over (n, 3) int64 id triples: returns
+    (keys first-seen (G,) int64 composite s*2R+r, grouped first-seen-deduped
+    values (V,) int32, offsets (G+1,) int64), or None if unavailable.
+    Exact equivalent of the numpy group-by in data/dataset.py (tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tri = np.ascontiguousarray(triples, np.int64)
+    h = lib.gc_group_sr2o(tri.reshape(-1), len(tri), num_relation)
+    try:
+        g = int(lib.gc_group_n(h))
+        v = int(lib.gc_group_nvals(h))
+        keys = np.empty(g, np.int64)
+        values = np.empty(v, np.int32)
+        offsets = np.empty(g + 1, np.int64)
+        lib.gc_group_copy(h, keys, values, offsets)
+        return keys, values, offsets
+    finally:
+        lib.gc_group_free(h)

@@ -118,3 +118,52 @@ def test_epoch_batches_mask_and_coverage():
     assert mask.sum() == 10
     covered = sorted(idx.ravel()[mask.ravel() > 0].tolist())
     assert covered == list(range(10))
+
+
+def test_fast_query_build_equals_dict_oracle():
+    """The vectorized first-seen group-by (build_dataset_from_ids fast path)
+    reproduces the reference-literal dict build EXACTLY: query order
+    (first-seen), label order (first-seen, deduped), eval filter labels,
+    and the padded label matrices."""
+    from kgc_gcn_tpu.data.dataset import build_dataset_from_ids, LabelSet
+    from kgc_gcn_tpu.data.batching import _pad_labels
+
+    rng = np.random.default_rng(7)
+    n_ent, n_rel = 23, 5
+    ids = {}
+    for split, n in (("train", 240), ("valid", 60), ("test", 50)):
+        tri = rng.integers(0, [n_ent, n_rel, n_ent], size=(n, 3)).astype(np.int64)
+        # force duplicates (exercise the first-seen dedup) and shared (s, r)
+        tri[n // 2:] = tri[: n - n // 2]
+        ids[split] = tri
+    e2i = {f"e{i}": i for i in range(n_ent)}
+    r2i = {f"r{i}": i for i in range(n_rel)}
+    r2i.update({f"r{i}_reverse": i + n_rel for i in range(n_rel)})
+
+    fast = build_dataset_from_ids("x", e2i, r2i, ids, use_fast=True)
+    slow = build_dataset_from_ids("x", e2i, r2i, ids, use_fast=False)
+
+    assert isinstance(fast.train_labels, LabelSet)
+    np.testing.assert_array_equal(fast.train_queries, slow.train_queries)
+    assert list(fast.train_labels) == list(slow.train_labels)
+    np.testing.assert_array_equal(
+        _pad_labels(fast.train_labels, n_ent),
+        _pad_labels(slow.train_labels, n_ent))
+    for key in fast.eval_queries:
+        fq, sq = fast.eval_queries[key], slow.eval_queries[key]
+        np.testing.assert_array_equal(fq.triples, sq.triples)
+        assert list(fq.labels) == list(sq.labels), key
+        np.testing.assert_array_equal(
+            _pad_labels(fq.labels, n_ent), _pad_labels(sq.labels, n_ent))
+
+
+def test_labelset_sequence_protocol():
+    from kgc_gcn_tpu.data.dataset import LabelSet
+
+    ls = LabelSet(np.asarray([3, 1, 4, 1, 5], np.int32),
+                  np.asarray([0, 2, 2, 5], np.int64))
+    assert len(ls) == 3
+    assert ls[0] == [3, 1] and ls[1] == [] and ls[2] == [4, 1, 5]
+    assert ls[-1] == [4, 1, 5]
+    assert list(ls) == [[3, 1], [], [4, 1, 5]]
+    assert ls[1:] == [[], [4, 1, 5]]

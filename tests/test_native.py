@@ -82,3 +82,65 @@ def test_native_malformed_line_raises(tmp_path):
     (root / "train.txt").write_text("a r\n")
     with pytest.raises(ValueError, match="malformed"):
         load_dataset("Bad", str(tmp_path), use_native=True)
+
+
+@needs_native
+def test_native_sr2o_grouper_matches_numpy():
+    """gc_group_sr2o (single hash pass) == the numpy first-seen group-by:
+    same key order, same deduped value order, same offsets."""
+    from kgc_gcn_tpu.data.dataset import _group_first_seen, _sr_stream
+    from kgc_gcn_tpu.utils.native import group_sr2o_native
+
+    rng = np.random.default_rng(11)
+    n_ent, n_rel, n = 31, 6, 500
+    tri = rng.integers(0, [n_ent, n_rel, n_ent], size=(n, 3)).astype(np.int64)
+    tri[n // 3:] = tri[: n - n // 3]           # heavy duplication
+    nk, nv, noff = group_sr2o_native(tri, n_rel)
+    k, v = _sr_stream({"t": tri}, ("t",), n_rel)
+    pk, pv, poff, _ = _group_first_seen(k, v, n_ent)
+    np.testing.assert_array_equal(nk, pk)
+    np.testing.assert_array_equal(nv, pv)
+    np.testing.assert_array_equal(noff, poff)
+
+
+@needs_native
+def test_native_sr2o_grouper_empty():
+    from kgc_gcn_tpu.utils.native import group_sr2o_native
+
+    nk, nv, noff = group_sr2o_native(np.empty((0, 3), np.int64), 4)
+    assert len(nk) == 0 and len(nv) == 0
+    np.testing.assert_array_equal(noff, [0])
+
+
+@needs_native
+def test_dataset_build_engines_agree(tmp_path):
+    """All three build engines (native hash grouper, numpy group-by, dict
+    oracle) produce identical datasets."""
+    from kgc_gcn_tpu.data.dataset import build_dataset_from_ids
+    import kgc_gcn_tpu.utils.native as native_mod
+
+    rng = np.random.default_rng(13)
+    n_ent, n_rel = 19, 4
+    ids = {s: rng.integers(0, [n_ent, n_rel, n_ent],
+                           size=(n, 3)).astype(np.int64)
+           for s, n in (("train", 150), ("valid", 40), ("test", 30))}
+    e2i = {f"e{i}": i for i in range(n_ent)}
+    r2i = {f"r{i}": i for i in range(n_rel)}
+    r2i.update({f"r{i}_reverse": i + n_rel for i in range(n_rel)})
+
+    via_native = build_dataset_from_ids("x", e2i, r2i, ids)
+    via_dict = build_dataset_from_ids("x", e2i, r2i, ids, use_fast=False)
+    # numpy path: disable the native grouper for one build
+    import unittest.mock as mock
+    with mock.patch.object(native_mod, "group_sr2o_native",
+                           lambda *a, **k: None):
+        via_numpy = build_dataset_from_ids("x", e2i, r2i, ids)
+
+    for a, b in ((via_native, via_dict), (via_numpy, via_dict)):
+        np.testing.assert_array_equal(a.train_queries, b.train_queries)
+        assert list(a.train_labels) == list(b.train_labels)
+        for key in a.eval_queries:
+            np.testing.assert_array_equal(a.eval_queries[key].triples,
+                                          b.eval_queries[key].triples)
+            assert list(a.eval_queries[key].labels) == \
+                list(b.eval_queries[key].labels)
