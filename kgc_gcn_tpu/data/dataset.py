@@ -54,8 +54,11 @@ class LabelSet(Sequence):
     def __getitem__(self, i):
         if isinstance(i, slice):
             return [self[j] for j in range(*i.indices(len(self)))]
+        n = len(self)
         if i < 0:
-            i += len(self)
+            i += n
+        if not 0 <= i < n:
+            raise IndexError("LabelSet index out of range")
         return self.values[self.offsets[i]:self.offsets[i + 1]].tolist()
 
     def __eq__(self, other):
@@ -134,7 +137,8 @@ def load_dataset(name: str, data_dir: str = "data",
             return build_dataset_from_ids(name, entity2id, relation2id,
                                           triples)
     raw = {s: _read_triples(paths[s]) for s in SPLITS}
-    return build_dataset(name, raw["train"], raw["valid"], raw["test"])
+    return build_dataset(name, raw["train"], raw["valid"], raw["test"],
+                         use_native=use_native)
 
 
 def build_dataset(
@@ -142,6 +146,7 @@ def build_dataset(
     train: Sequence[Tuple[str, str, str]],
     valid: Sequence[Tuple[str, str, str]],
     test: Sequence[Tuple[str, str, str]],
+    use_native: bool = True,
 ) -> KGDataset:
     raw = {"train": list(train), "valid": list(valid), "test": list(test)}
 
@@ -166,7 +171,8 @@ def build_dataset(
         for i, (s, r, o) in enumerate(raw[split]):
             tri[i] = (entity2id[s], relation2id[r], entity2id[o])
         ids[split] = tri
-    return build_dataset_from_ids(name, entity2id, relation2id, ids)
+    return build_dataset_from_ids(name, entity2id, relation2id, ids,
+                                  use_native=use_native)
 
 
 def _group_first_seen(key: np.ndarray, vals: np.ndarray, n_vals: int):
@@ -223,12 +229,23 @@ def _sr_stream(ids: Dict[str, np.ndarray], splits, num_relation: int):
     return np.concatenate(ks), np.concatenate(vs)
 
 
+def _eval_query_arrays(tri: np.ndarray, num_relation: int):
+    """Per-triple eval queries (reference data_loader.py:104-110): the tail
+    query (s, r, o) and the head query (o, r+R, s), int32."""
+    tri = np.asarray(tri, np.int64)
+    tail = np.stack([tri[:, 0], tri[:, 1], tri[:, 2]], axis=1).astype(np.int32)
+    head = np.stack([tri[:, 2], tri[:, 1] + num_relation,
+                     tri[:, 0]], axis=1).astype(np.int32)
+    return tail, head
+
+
 def build_dataset_from_ids(
     name: str,
     entity2id: Dict[str, int],
     relation2id: Dict[str, int],     # incl. '<rel>_reverse' ids R..2R-1
     ids: Dict[str, np.ndarray],      # {split: (n, 3) int64 id triples}
     use_fast: bool = True,
+    use_native: bool = True,         # False: numpy/dict engines only
 ) -> KGDataset:
     num_entity = len(entity2id)
     num_relation = len(relation2id) // 2
@@ -241,14 +258,15 @@ def build_dataset_from_ids(
             and float(num_entity) * num_entity * 2 * num_relation < 2.0**62)
     grouped = None
     if use_fast:
-        from kgc_gcn_tpu.utils.native import group_sr2o_native
-        nat_t = group_sr2o_native(ids["train"], num_relation)
-        nat_a = group_sr2o_native(
-            np.concatenate([np.asarray(ids[s], np.int64) for s in SPLITS]),
-            num_relation) if nat_t is not None else None
-        if nat_a is not None:
-            keys_t, vals_t, off_t = nat_t
-            keys_a, vals_a, off_a = nat_a
+        nat = None
+        if use_native:
+            from kgc_gcn_tpu.utils.native import group_sr2o_splits_native
+            nat = group_sr2o_splits_native(
+                np.concatenate(
+                    [np.asarray(ids[s], np.int64) for s in SPLITS]),
+                len(ids["train"]), num_relation)
+        if nat is not None:
+            (keys_t, vals_t, off_t), (keys_a, vals_a, off_a) = nat
             order_a = np.argsort(keys_a)
             # keys_a[order_a] is sorted; its first-seen rank IS order_a
             grouped = (keys_t, vals_t, off_t, vals_a, off_a,
@@ -269,12 +287,7 @@ def build_dataset_from_ids(
         # all-splits map → filtered-eval labels (data_loader.py:104-110)
         eval_queries = {}
         for split in ("valid", "test"):
-            tri = np.asarray(ids[split], np.int64)
-            tail = np.stack(
-                [tri[:, 0], tri[:, 1], tri[:, 2]], axis=1).astype(np.int32)
-            head = np.stack(
-                [tri[:, 2], tri[:, 1] + num_relation,
-                 tri[:, 0]], axis=1).astype(np.int32)
+            tail, head = _eval_query_arrays(ids[split], num_relation)
             for tag, q in (("tail", tail), ("head", head)):
                 k = q[:, 0].astype(np.int64) * two_r + q[:, 1]
                 eval_queries[f"{split}_{tag}"] = EvalQueries(
@@ -302,11 +315,7 @@ def build_dataset_from_ids(
     # eval queries (reference data_loader.py:104-110)
     eval_queries = {}
     for split in ("valid", "test"):
-        tri = ids[split]
-        tail = np.stack(
-            [tri[:, 0], tri[:, 1], tri[:, 2]], axis=1).astype(np.int32)
-        head = np.stack(
-            [tri[:, 2], tri[:, 1] + num_relation, tri[:, 0]], axis=1).astype(np.int32)
+        tail, head = _eval_query_arrays(ids[split], num_relation)
         eval_queries[f"{split}_tail"] = EvalQueries(
             tail, [sr2o_all[(int(s), int(r))] for s, r, _ in tail])
         eval_queries[f"{split}_head"] = EvalQueries(

@@ -77,20 +77,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
-    lib.gc_group_sr2o.restype = ctypes.c_void_p
-    lib.gc_group_sr2o.argtypes = [
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        ctypes.c_int64, ctypes.c_int32]
-    lib.gc_group_n.restype = ctypes.c_int64
-    lib.gc_group_n.argtypes = [ctypes.c_void_p]
-    lib.gc_group_nvals.restype = ctypes.c_int64
-    lib.gc_group_nvals.argtypes = [ctypes.c_void_p]
-    lib.gc_group_copy.argtypes = [
-        ctypes.c_void_p,
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
-    lib.gc_group_free.argtypes = [ctypes.c_void_p]
+    # the grouper entry points postdate the parser/half-builder; a stale
+    # .so (e.g. mtime-preserving restore) may lack them — bind them only if
+    # present and let group_sr2o_native fall back to the numpy path
+    if hasattr(lib, "gc_group_sr2o_splits"):   # the newest grouper symbol
+        lib.gc_group_sr2o.restype = ctypes.c_void_p
+        lib.gc_group_sr2o.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int32]
+        lib.gc_group_sr2o_splits.restype = ctypes.c_void_p
+        lib.gc_group_sr2o_splits.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+        lib.gc_group2_get.restype = ctypes.c_void_p
+        lib.gc_group2_get.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.gc_group2_free.argtypes = [ctypes.c_void_p]
+        lib.gc_group_n.restype = ctypes.c_int64
+        lib.gc_group_n.argtypes = [ctypes.c_void_p]
+        lib.gc_group_nvals.restype = ctypes.c_int64
+        lib.gc_group_nvals.argtypes = [ctypes.c_void_p]
+        lib.gc_group_copy.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        lib.gc_group_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -150,17 +161,41 @@ def group_sr2o_native(triples: np.ndarray, num_relation: int
     values (V,) int32, offsets (G+1,) int64), or None if unavailable.
     Exact equivalent of the numpy group-by in data/dataset.py (tested)."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "gc_group_sr2o_splits"):
         return None
     tri = np.ascontiguousarray(triples, np.int64)
     h = lib.gc_group_sr2o(tri.reshape(-1), len(tri), num_relation)
     try:
-        g = int(lib.gc_group_n(h))
-        v = int(lib.gc_group_nvals(h))
-        keys = np.empty(g, np.int64)
-        values = np.empty(v, np.int32)
-        offsets = np.empty(g + 1, np.int64)
-        lib.gc_group_copy(h, keys, values, offsets)
-        return keys, values, offsets
+        return _copy_group(lib, h)
     finally:
         lib.gc_group_free(h)
+
+
+def _copy_group(lib, h) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    g = int(lib.gc_group_n(h))
+    v = int(lib.gc_group_nvals(h))
+    keys = np.empty(g, np.int64)
+    values = np.empty(v, np.int32)
+    offsets = np.empty(g + 1, np.int64)
+    lib.gc_group_copy(h, keys, values, offsets)
+    return keys, values, offsets
+
+
+def group_sr2o_splits_native(triples: np.ndarray, n_train: int,
+                             num_relation: int) -> Optional[Tuple]:
+    """One hash pass over all triples returning BOTH groupings the dataset
+    build needs: (train-snapshot (keys, values, offsets), all-splits
+    (keys, values, offsets)) — the snapshot is the grouping as of the first
+    ``n_train`` triples (reference data_loader.py:88-90). None if
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_group_sr2o_splits"):
+        return None
+    tri = np.ascontiguousarray(triples, np.int64)
+    h = lib.gc_group_sr2o_splits(tri.reshape(-1), len(tri), n_train,
+                                 num_relation)
+    try:
+        return (_copy_group(lib, lib.gc_group2_get(h, 0)),
+                _copy_group(lib, lib.gc_group2_get(h, 1)))
+    finally:
+        lib.gc_group2_free(h)

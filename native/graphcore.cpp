@@ -252,15 +252,18 @@ struct FlatMap {
 extern "C" {
 
 // tri: (n, 3) int64 id triples (row-major). num_rel = R (forward count).
-// Walks the (s, r)->o then (o, r+R)->s stream per triple.
-void* gc_group_sr2o(const int64_t* tri, int64_t n, int32_t num_rel) {
+// Walks the (s, r)->o then (o, r+R)->s stream per triple; fills `out` with
+// the grouping after ALL n triples and, when snapshot != nullptr, also fills
+// it with the grouping as of the first n_snapshot triples (the reference's
+// sr2o_train snapshot, data_loader.py:88-90) — one hash pass for both.
+static void group_sr2o_impl(const int64_t* tri, int64_t n, int32_t num_rel,
+                            int64_t n_snapshot, GroupResult* out,
+                            GroupResult* snapshot) {
     const int64_t two_r = 2 * static_cast<int64_t>(num_rel);
-    auto* res = new GroupResult();
     if (n == 0) {
-        res->offsets.push_back(0);
-        res->offsets.pop_back();   // empty offsets handled by caller (G=0)
-        res->offsets.push_back(0);
-        return res;
+        out->offsets.push_back(0);
+        if (snapshot) snapshot->offsets.push_back(0);
+        return;
     }
     FlatMap key2gid(static_cast<size_t>(2 * n));
     FlatMap pairseen(static_cast<size_t>(2 * n));
@@ -276,10 +279,10 @@ void* gc_group_sr2o(const int64_t* tri, int64_t n, int32_t num_rel) {
         int32_t gid = key2gid.get_or_insert(key, next_gid, &ins);
         if (ins) {
             ++next_gid;
-            res->keys.push_back(key);
+            out->keys.push_back(key);
             counts.push_back(0);
         }
-        // (gid, val) dedup: gid < 2n < 2^62/2^31, val is an int32 entity id
+        // (gid, val) dedup: gid < 2n < 2^31, val is an int32 entity id
         int64_t pid = (static_cast<int64_t>(gid) << 31)
                       | static_cast<int64_t>(val);
         pairseen.get_or_insert(pid, 0, &ins);
@@ -290,21 +293,55 @@ void* gc_group_sr2o(const int64_t* tri, int64_t n, int32_t num_rel) {
         }
     };
 
+    auto materialize = [&](GroupResult* r) {
+        const size_t g = counts.size();
+        r->offsets.assign(g + 1, 0);
+        for (size_t i = 0; i < g; ++i)
+            r->offsets[i + 1] = r->offsets[i] + counts[i];
+        r->values.resize(kept_val.size());
+        std::vector<int64_t> cursor(r->offsets.begin(), r->offsets.end() - 1);
+        for (size_t i = 0; i < kept_val.size(); ++i)
+            r->values[cursor[kept_gid[i]]++] = kept_val[i];
+    };
+
     for (int64_t i = 0; i < n; ++i) {
+        if (snapshot && i == n_snapshot) {
+            snapshot->keys = out->keys;
+            materialize(snapshot);
+        }
         const int64_t s = tri[3 * i], r = tri[3 * i + 1], o = tri[3 * i + 2];
         visit(s * two_r + r, static_cast<int32_t>(o));
         visit(o * two_r + (r + num_rel), static_cast<int32_t>(s));
     }
+    if (snapshot && n_snapshot >= n) {   // snapshot at/after the end
+        snapshot->keys = out->keys;
+        materialize(snapshot);
+    }
+    materialize(out);
+}
 
-    const size_t g = counts.size();
-    res->offsets.assign(g + 1, 0);
-    for (size_t i = 0; i < g; ++i) res->offsets[i + 1] = res->offsets[i] + counts[i];
-    res->values.resize(kept_val.size());
-    std::vector<int64_t> cursor(res->offsets.begin(), res->offsets.end() - 1);
-    for (size_t i = 0; i < kept_val.size(); ++i)
-        res->values[cursor[kept_gid[i]]++] = kept_val[i];
+void* gc_group_sr2o(const int64_t* tri, int64_t n, int32_t num_rel) {
+    auto* res = new GroupResult();
+    group_sr2o_impl(tri, n, num_rel, -1, res, nullptr);
     return res;
 }
+
+// Both groupings in one pass: [0] = snapshot after the first n_train
+// triples (train-only sr2o), [1] = all n triples. Access the halves with
+// gc_group2_get + the gc_group_{n,nvals,copy} accessors; free the PAIR with
+// gc_group2_free only.
+void* gc_group_sr2o_splits(const int64_t* tri, int64_t n, int64_t n_train,
+                           int32_t num_rel) {
+    auto* pair = new GroupResult[2];
+    group_sr2o_impl(tri, n, num_rel, n_train, &pair[1], &pair[0]);
+    return pair;
+}
+
+void* gc_group2_get(void* h, int32_t which) {
+    return &static_cast<GroupResult*>(h)[which];
+}
+
+void gc_group2_free(void* h) { delete[] static_cast<GroupResult*>(h); }
 
 int64_t gc_group_n(void* h) {
     return static_cast<int64_t>(static_cast<GroupResult*>(h)->keys.size());

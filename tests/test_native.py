@@ -144,3 +144,54 @@ def test_dataset_build_engines_agree(tmp_path):
                                           b.eval_queries[key].triples)
             assert list(a.eval_queries[key].labels) == \
                 list(b.eval_queries[key].labels)
+
+
+@needs_native
+def test_native_splits_grouper_matches_separate_calls():
+    """gc_group_sr2o_splits (one pass, train snapshot + all) == grouping the
+    train prefix and the full stream separately."""
+    from kgc_gcn_tpu.utils.native import (group_sr2o_native,
+                                          group_sr2o_splits_native)
+
+    rng = np.random.default_rng(17)
+    n_ent, n_rel = 29, 5
+    tr = rng.integers(0, [n_ent, n_rel, n_ent], size=(120, 3)).astype(np.int64)
+    va = rng.integers(0, [n_ent, n_rel, n_ent], size=(30, 3)).astype(np.int64)
+    va[:10] = tr[:10]                      # overlap train/valid pairs
+    allt = np.concatenate([tr, va])
+    (tk, tv, toff), (ak, av, aoff) = group_sr2o_splits_native(
+        allt, len(tr), n_rel)
+    etk, etv, etoff = group_sr2o_native(tr, n_rel)
+    eak, eav, eaoff = group_sr2o_native(allt, n_rel)
+    np.testing.assert_array_equal(tk, etk)
+    np.testing.assert_array_equal(tv, etv)
+    np.testing.assert_array_equal(toff, etoff)
+    np.testing.assert_array_equal(ak, eak)
+    np.testing.assert_array_equal(av, eav)
+    np.testing.assert_array_equal(aoff, eaoff)
+
+
+def test_use_native_false_disables_native_grouper(tmp_path, monkeypatch):
+    """load_dataset(use_native=False) must not call into the .so at all —
+    it is the documented escape hatch for a broken native build."""
+    import kgc_gcn_tpu.utils.native as native_mod
+
+    def boom(*a, **k):
+        raise AssertionError("native grouper called despite use_native=False")
+
+    monkeypatch.setattr(native_mod, "group_sr2o_splits_native", boom)
+    monkeypatch.setattr(native_mod, "load_corpus_native", boom)
+    write_toy(str(tmp_path), n_ent=9, n_rel=3, n_train=30)
+    ds = load_dataset("Toy", str(tmp_path), use_native=False)
+    assert ds.num_entity > 0 and len(ds.train_labels) > 0
+
+
+def test_labelset_rejects_out_of_range():
+    from kgc_gcn_tpu.data.dataset import LabelSet
+
+    ls = LabelSet(np.asarray([1, 2], np.int32), np.asarray([0, 2], np.int64))
+    with pytest.raises(IndexError):
+        ls[1]
+    with pytest.raises(IndexError):
+        ls[-2]
+    assert ls[-1] == [1, 2]
