@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predict_file", default=None,
                    help="TSV of 'subject relation' query lines for --do_predict")
     p.add_argument("--top_k", default=10, type=int)
+    p.add_argument("--per_relation", action="store_true",
+                   help="with --do_test: also report per-relation filtered "
+                        "metrics (worst/best in the log, full table to "
+                        "<experiments>/<ds>/per_relation.json)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of one "
                         "post-compile training epoch into this directory")
@@ -305,6 +309,27 @@ def main(argv=None) -> int:
         if cfg.restore_dir is None and cfg.restore_torch is None:
             raise ValueError("Must specify restore dir for testing")
         trainer.evaluate(params, state, "test", mark="Test")
+        if args.per_relation:
+            per = trainer.evaluate_per_relation(params, state, "test")
+            id2rel = {i: r for r, i in ds.relation2id.items()
+                      if i < ds.num_relation}
+            rows = [
+                {"relation": id2rel[i], **{k: (None if np.isnan(v[i]) else
+                                               round(float(v[i]), 5))
+                                           for k, v in per.items()}}
+                for i in range(ds.num_relation)]
+            if is_host_zero():
+                import json
+                with open(os.path.join(model_dir, "per_relation.json"),
+                          "w") as f:
+                    json.dump(rows, f, indent=2)
+            ranked = sorted((r for r in rows if r["count"]),
+                            key=lambda r: r["mrr"])
+            for tag, sel in (("worst", ranked[:5]), ("best", ranked[-5:])):
+                for r in sel:
+                    logging.info("- per-relation (%s): %s  mrr=%.3f "
+                                 "hits@10=%.3f n=%d", tag, r["relation"],
+                                 r["mrr"], r["hits@10"], int(r["count"]))
     if args.do_predict:
         from kgc_gcn_tpu.serve import Predictor, serve_file, serve_stream
         predictor = Predictor(cfg, model, graph, params, state,

@@ -71,3 +71,45 @@ def combine_head_tail(
         res[f"hits@{k}"] = round(
             (float(tail[f"hits@{k}"]) + float(head[f"hits@{k}"])) / (2 * count), 5)
     return res
+
+
+def rank_metric_sums_by_rel(
+    ranks: jax.Array,        # (B,) int
+    rels: jax.Array,         # (B,) relation ids in [0, 2R) — reverse folds
+    row_mask: jax.Array,     # (B,) 1.0 valid / 0.0 padding
+    num_rels: int,           # R (forward count)
+    hits_at: Sequence[int] = (1, 3, 10),
+) -> Dict[str, jax.Array]:
+    """Per-relation partial sums: the same quantities as ``rank_metrics``,
+    segment-summed over the FORWARD relation id (``rel % R``, so the head
+    direction's reverse relations fold onto their forward relation —
+    framework extension; the reference only reports corpus-level metrics)."""
+    r = ranks.astype(jnp.float32)
+    seg = (rels % num_rels).astype(jnp.int32)
+
+    def s(x):
+        return jax.ops.segment_sum(x, seg, num_segments=num_rels)
+
+    out = {"count": s(row_mask), "mr": s(r * row_mask), "mrr": s(row_mask / r)}
+    for k in hits_at:
+        out[f"hits@{k}"] = s(jnp.where(r <= k, row_mask, 0.0))
+    return out
+
+
+def combine_head_tail_by_rel(
+    tail: Dict[str, jax.Array], head: Dict[str, jax.Array],
+    hits: Sequence[int] = (1, 3, 10),
+) -> Dict[str, "jax.Array"]:
+    """Per-relation analog of ``combine_head_tail``: average the two
+    directions' sums, guarding relations with no eval queries (count 0)."""
+    import numpy as np
+
+    count = np.asarray(tail["count"])
+    denom = np.maximum(2.0 * count, 1.0)
+    out = {"count": count}
+    for k in ("mr", "mrr", *(f"hits@{k}" for k in hits)):
+        out[k] = np.where(
+            count > 0,
+            (np.asarray(tail[k]) + np.asarray(head[k])) / denom,
+            np.nan)
+    return out

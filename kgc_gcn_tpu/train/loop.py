@@ -76,6 +76,7 @@ class Trainer:
         self._train_step_jit = jax.jit(
             self._train_step, donate_argnums=(0, 1, 2))
         self._eval_pass_jit = jax.jit(self._eval_pass)
+        self._eval_rel_pass_jit = jax.jit(self._eval_rel_pass)
         self.loss_impl = self._resolve_loss_impl(cfg, model)
 
     @staticmethod
@@ -233,6 +234,29 @@ class Trainer:
         sums, _ = jax.lax.scan(body, zeros, (idx, mask))
         return sums
 
+    def _eval_rel_pass(self, params, state, graph, idx, mask, queries,
+                       label_idx):
+        """Like _eval_pass but per-relation (R,) metric sums (rel % R)."""
+        from kgc_gcn_tpu.ops.ranking import rank_metric_sums_by_rel
+        all_ent, all_rel, _ = self.model.encode(
+            params, state, graph, train=False)
+        n_rel = self.model.n_rel
+
+        def body(carry, batch):
+            b_idx, b_mask = batch
+            q = queries[b_idx]
+            logits, _ = self.model.decode(
+                params, state, all_ent, all_rel, q[:, 0], q[:, 1], train=False)
+            ranks = filtered_ranks(logits, q[:, 2], label_idx[b_idx])
+            m = rank_metric_sums_by_rel(ranks, q[:, 1], b_mask, n_rel)
+            return jax.tree.map(jnp.add, carry, m), None
+
+        zero = rank_metric_sums_by_rel(
+            jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,)), n_rel)
+        sums, _ = jax.lax.scan(body, zero, (idx, mask))
+        return sums
+
     def _predict(self, params, state, bank: QueryBank) -> Dict[str, float]:
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
@@ -248,6 +272,30 @@ class Trainer:
             params, state, self.graph, idx, mask,
             bank.queries, bank.label_idx)
         return {k: float(v) for k, v in sums.items()}
+
+    def evaluate_per_relation(self, params, state, split: str = "valid"
+                              ) -> Dict[str, "np.ndarray"]:
+        """Per-relation filtered metrics (framework extension): dict of (R,)
+        arrays keyed count/mr/mrr/hits@{1,3,10}, head+tail combined onto the
+        forward relation id; relations with no eval queries are NaN."""
+        from kgc_gcn_tpu.ops.ranking import combine_head_tail_by_rel
+        cfg = self.cfg
+        bs = cfg.eval_batch_size or cfg.batch_size
+        sums = {}
+        for d in ("tail", "head"):
+            bank = self.banks[f"{split}_{d}"]
+            idx, mask = epoch_batches(
+                bank.n_queries, bs, np.random.default_rng(0), shuffle=False)
+            if self.mesh is not None:
+                from kgc_gcn_tpu.parallel.mesh import shard_batches
+                idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
+                                          jnp.asarray(mask))
+            else:
+                idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+            sums[d] = self._eval_rel_pass_jit(
+                params, state, self.graph, idx, mask,
+                bank.queries, bank.label_idx)
+        return combine_head_tail_by_rel(sums["tail"], sums["head"])
 
     def evaluate(self, params, state, split: str = "valid",
                  mark: str = "Val") -> Dict[str, float]:

@@ -148,3 +148,14 @@ def test_compile_cache_dir_populates(workdir):
         # global jax config — reset so later tests compile uncached
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_cli_per_relation_report(workdir):
+    """--do_test --per_relation writes the per-relation table and logs the
+    worst/best rows (uses the checkpoint from the roundtrip test)."""
+    exp = workdir / "experiments" / "Toy"
+    assert _run(workdir, "--dataset", "Toy", "--do_test",
+                "--restore_dir", str(exp), "--per_relation") == 0
+    rows = json.load(open(exp / "per_relation.json"))
+    assert rows and all("mrr" in r and "relation" in r for r in rows)
+    assert all(not r["relation"].endswith("_reverse") for r in rows)

@@ -430,3 +430,21 @@ def test_periodic_async_checkpoint(toy, toy_cfg, tmp_path):
                     jax.tree.leaves(p)):
         assert np.asarray(a).shape == np.asarray(b).shape
     assert np.isfinite(measure)
+
+
+def test_per_relation_metrics_aggregate_to_overall(setup):
+    """Count-weighted per-relation MRR/MR/Hits must reproduce the corpus
+    metrics exactly (same ranks, same filtering, different grouping)."""
+    ds, cfg, model, trainer, params, state, opt_state = setup
+    overall = trainer.evaluate(params, state, "valid")
+    per = trainer.evaluate_per_relation(params, state, "valid")
+    c = per["count"]
+    total = c.sum()
+    for key in ("mr", "mrr", "hits@1", "hits@3", "hits@10"):
+        vals = np.where(np.isnan(per[key]), 0.0, per[key])
+        agg = float((vals * c).sum() / total)
+        assert abs(agg - overall[key]) < 1e-4, (key, agg, overall[key])
+    # tail+head per forward relation: counts match the split's triple counts
+    tri = ds.valid_triples
+    want = np.bincount(tri[:, 1], minlength=ds.num_relation)
+    np.testing.assert_array_equal(c.astype(int), want)
