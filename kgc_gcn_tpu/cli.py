@@ -87,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for parity; the graph is always bidirectional "
                         "(the reference flag is dead too, data_loader.py:113-114)")
     # TPU-native flags
-    p.add_argument("--model", default="mgcn", choices=["mgcn", "rgcn"])
+    p.add_argument("--model", default="mgcn",
+                   choices=["mgcn", "rgcn", "rgat"])
+    p.add_argument("--num_heads", default=1, type=int,
+                   help="rgat: attention heads (divides gcn_out_dim)")
     p.add_argument("--decoder", default="conve",
                    choices=["conve", "distmult", "transe", "complex",
                             "rotate"])
@@ -162,7 +165,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "lbl_smooth bias gcn_in_dim "
         "gcn_out_dim gcn_drop hidden_drop feat_drop k_w k_h num_filter "
         "kernel_size clip_grad do_train do_test model decoder num_layers "
-        "num_bases num_blocks composition train_mode num_negatives "
+        "num_bases num_blocks num_heads composition train_mode num_negatives "
         "neg_loss neg_margin neg_adversarial_temp "
         "edge_sample_size remat "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
@@ -184,7 +187,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         if os.path.exists(run_record):
             saved = Config.from_json(run_record)
             shape_fields = (
-                "model decoder num_layers num_bases num_blocks composition "
+                "model decoder num_layers num_bases num_blocks num_heads "
+                "composition "
                 "bias gcn_in_dim gcn_out_dim k_w k_h num_filter kernel_size"
             ).split()
             for field in shape_fields:

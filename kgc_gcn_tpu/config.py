@@ -68,7 +68,9 @@ class Config:
                                      # the reference is mult, model.py:111-118;
                                      # sub/corr require the XLA aggregation
                                      # path, i.e. use_pallas=False)
-    model: str = "mgcn"              # mgcn | rgcn
+    model: str = "mgcn"              # mgcn | rgcn | rgat
+    num_heads: int = 1               # rgat: attention heads (divides
+                                     # gcn_out_dim)
     decoder: str = "conve"           # conve | distmult | transe | complex
                                      # | rotate
     num_layers: int = 1              # encoder depth (reference is fixed at 1)

@@ -1,12 +1,13 @@
 from kgc_gcn_tpu.models.mgcn import MGCN
+from kgc_gcn_tpu.models.rgat import RGAT
 from kgc_gcn_tpu.models.rgcn import RGCN
 
-__all__ = ["MGCN", "RGCN", "build_model"]
+__all__ = ["MGCN", "RGAT", "RGCN", "build_model"]
 
 
 def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
                 mesh=None):
-    """Model-family factory (``cfg.model``: mgcn | rgcn).
+    """Model-family factory (``cfg.model``: mgcn | rgcn | rgat).
 
     ``e_pad`` must equal the Graph's padded per-half edge count when the graph
     was built with a non-default ``pad_to`` (the MGCN edge-embedding table is
@@ -17,8 +18,9 @@ def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
     """
     if cfg.model == "mgcn":
         return MGCN(cfg, n_ent, n_rel, n_edge, e_pad, mesh=mesh)
-    if cfg.model == "rgcn":
+    if cfg.model in ("rgcn", "rgat"):
         if getattr(cfg, "entity_sharded", "none") != "none":
             raise ValueError("entity_sharded is only supported with model=mgcn")
-        return RGCN(cfg, n_ent, n_rel, n_edge)
+        cls = RGCN if cfg.model == "rgcn" else RGAT
+        return cls(cfg, n_ent, n_rel, n_edge)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -1,0 +1,220 @@
+"""Relational graph-attention family (RGAT): GAT-style neighbor attention
+with relation-typed messages, on the same Graph container as MGCN/RGCN.
+
+The reference repo has no attention model — this is a framework family
+(like RGCN, models/rgcn.py) chosen for its TPU fit:
+
+  * ONE ``(N, d_in) x (d_in, d_out)`` MXU projection per layer (no per-edge
+    weights); per-edge messages compose in ``d_out`` on the VPU as
+    ``h[src] * rel_mult[rel]`` — the same multiplicative relation typing as
+    MGCN/CompGCN (reference model.py:111-118 analog).
+  * Attention is additive GAT: ``s_e = leakyrelu(<z_e, a_src> + <h[dst],
+    a_dst> + b_rel[rel])`` per head, normalized with a SEGMENT SOFTMAX over
+    each destination's incoming edges.  The halves are dst-sorted CSR
+    (data/graph.py), so ``segment_max`` / ``segment_sum`` run with
+    ``indices_are_sorted=True`` — fused VPU reductions, no sorting, no
+    dynamic shapes.
+  * Padding edges (norm == 0, data/graph.py) are masked with ``-inf`` logits
+    BEFORE the softmax: a zero-norm trick like MGCN's would not work here
+    because softmax renormalizes.
+
+Multi-head (``cfg.num_heads``): d_out splits into (H, d_out/H); attention
+logits are per (edge, head); the weighted segment-sum returns (N, H, dh)
+re-flattened to (N, d_out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kgc_gcn_tpu.config import Config
+from kgc_gcn_tpu.data.graph import Graph, GraphHalf
+from kgc_gcn_tpu.models.common import dropout, xavier_uniform
+from kgc_gcn_tpu.models.decoders import DECODERS
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RGATLayerParams:
+    weight: jax.Array      # (d_in, d_out) shared projection
+    rel_mult: jax.Array    # (2R, d_out) relation message typing
+    att_src: jax.Array     # (H, d_out/H) source/message attention vector
+    att_dst: jax.Array     # (H, d_out/H) destination attention vector
+    rel_bias: jax.Array    # (2R, H) per-relation attention bias
+    self_weight: jax.Array  # (d_in, d_out) self-connection
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RGATParams:
+    entity_embedding: jax.Array    # (N, d_in)
+    relation_embedding: jax.Array  # (2R, d_out) decoder relation vectors
+    layers: List[RGATLayerParams]
+    decoder: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RGATState:
+    decoder: Any
+
+
+def segment_softmax(
+    logits: jax.Array,     # (E, H) — -inf on masked (padding) edges
+    seg: jax.Array,        # (E,) destination ids, non-decreasing
+    n_seg: int,
+) -> jax.Array:
+    """Numerically-stable per-segment softmax; masked edges get weight 0 and
+    empty segments produce zeros (not NaN)."""
+    smax = jax.ops.segment_max(logits, seg, num_segments=n_seg,
+                               indices_are_sorted=True)      # (S, H)
+    smax_e = jnp.where(jnp.isfinite(smax), smax, 0.0)[seg]   # (E, H)
+    expd = jnp.where(jnp.isfinite(logits),
+                     jnp.exp(logits - smax_e), 0.0)
+    denom = jax.ops.segment_sum(expd, seg, num_segments=n_seg,
+                                indices_are_sorted=True)     # (S, H)
+    return expd / jnp.maximum(denom[seg], 1e-9)
+
+
+def _attend_half(
+    h: jax.Array,              # (N, d_out) projected entities
+    layer: RGATLayerParams,
+    half: GraphHalf,
+    n_ent: int,
+    neg_slope: float = 0.2,
+) -> jax.Array:
+    """One direction's attention aggregation: (N, d_out)."""
+    nh, dh = layer.att_src.shape
+    z = h[half.src] * layer.rel_mult[half.rel]               # (E, d_out)
+    zh = z.reshape(-1, nh, dh)                               # (E, H, dh)
+    s = (jnp.einsum("ehd,hd->eh", zh, layer.att_src,
+                    preferred_element_type=jnp.float32)
+         + jnp.einsum("ehd,hd->eh", h[half.dst].reshape(-1, nh, dh),
+                      layer.att_dst, preferred_element_type=jnp.float32)
+         + layer.rel_bias[half.rel])                         # (E, H)
+    s = jax.nn.leaky_relu(s, neg_slope)
+    # padding edges (norm == 0) must not participate in the softmax
+    s = jnp.where(half.norm[:, None] > 0, s, -jnp.inf)
+    alpha = segment_softmax(s, half.dst, n_ent)              # (E, H)
+    out = jax.ops.segment_sum(zh * alpha[:, :, None], half.dst,
+                              num_segments=n_ent, indices_are_sorted=True)
+    return out.reshape(n_ent, nh * dh)
+
+
+class RGAT:
+    """Model family 'rgat' — relation-typed GAT encoder + any decoder."""
+
+    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
+        self.cfg = cfg
+        self.n_ent = n_ent
+        self.n_rel = n_rel
+        self.n_edge = n_edge
+        self.nh = max(1, cfg.num_heads)
+        if cfg.gcn_out_dim % self.nh:
+            raise ValueError(f"num_heads={self.nh} must divide "
+                             f"gcn_out_dim={cfg.gcn_out_dim}")
+        self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
+
+    def _layer_dims(self) -> List[Tuple[int, int]]:
+        cfg = self.cfg
+        dims = []
+        d = cfg.gcn_in_dim
+        for _ in range(max(1, cfg.num_layers)):
+            dims.append((d, cfg.gcn_out_dim))
+            d = cfg.gcn_out_dim
+        return dims
+
+    def init(self, key: jax.Array) -> Tuple[RGATParams, RGATState]:
+        cfg = self.cfg
+        n_rel2 = 2 * self.n_rel
+        dh = cfg.gcn_out_dim // self.nh
+        keys = jax.random.split(key, 3 + 6 * max(1, cfg.num_layers))
+        layers = []
+        for i, (din, dout) in enumerate(self._layer_dims()):
+            k = keys[3 + 6 * i: 9 + 6 * i]
+            layers.append(RGATLayerParams(
+                weight=xavier_uniform(k[0], (din, dout)),
+                rel_mult=jnp.ones((n_rel2, dout))
+                + 0.1 * xavier_uniform(k[1], (n_rel2, dout)),
+                att_src=xavier_uniform(k[2], (self.nh, dh)),
+                att_dst=xavier_uniform(k[3], (self.nh, dh)),
+                rel_bias=jnp.zeros((n_rel2, self.nh)),
+                self_weight=xavier_uniform(k[5], (din, dout)),
+            ))
+        dec_p, dec_s = self._dec_init(keys[0], cfg, self.n_ent)
+        params = RGATParams(
+            entity_embedding=xavier_uniform(
+                keys[1], (self.n_ent, cfg.gcn_in_dim)),
+            relation_embedding=xavier_uniform(
+                keys[2], (n_rel2, cfg.gcn_out_dim)),
+            layers=layers,
+            decoder=dec_p,
+        )
+        return params, RGATState(decoder=dec_s)
+
+    def encode(
+        self,
+        params: RGATParams,
+        state: RGATState,
+        graph: Graph,
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> Tuple[jax.Array, jax.Array, Any]:
+        cfg = self.cfg
+        rngs = rngs or {}
+        x = params.entity_embedding
+        for i, layer in enumerate(params.layers):
+            h = x @ layer.weight                              # ONE MXU matmul
+            agg = (_attend_half(h, layer, graph.inb, self.n_ent)
+                   + _attend_half(h, layer, graph.outb, self.n_ent)
+                   + x @ layer.self_weight)
+            x = jax.nn.relu(agg)
+            x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
+        return x, params.relation_embedding, None
+
+    def decode(self, params, state, all_ent, all_rel, src, rel, *,
+               train=False, rngs=None):
+        return self._dec_apply(
+            params.decoder, state.decoder, self.cfg,
+            all_ent[src], all_rel[rel], all_ent, train=train, rngs=rngs)
+
+    def query_and_bias(self, params, state, all_ent, all_rel, src, rel, *,
+                       train=False, rngs=None):
+        """Decoder trunk for the fused scoring+BCE loss (see models/mgcn.py)."""
+        from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
+        trunk = QUERY_TRUNKS[self.cfg.decoder]
+        h, dec_state = trunk(
+            params.decoder, state.decoder, self.cfg, all_ent[src],
+            all_rel[rel], train=train, rngs=rngs)
+        return h, params.decoder.ent_bias, dec_state
+
+    def rebuild_state(self, state, enc_aux, dec_state):
+        del enc_aux
+        return RGATState(decoder=dec_state)
+
+    def score_candidates(self, params, state, all_ent, all_rel, src, rel,
+                         cand, *, train=False, rngs=None):
+        from kgc_gcn_tpu.models.decoders import CANDIDATE_SCORERS
+        scorer = CANDIDATE_SCORERS[self.cfg.decoder]
+        return scorer(
+            params.decoder, state.decoder, self.cfg,
+            all_ent[src], all_rel[rel], all_ent[cand], cand,
+            train=train, rngs=rngs)
+
+    def make_rngs(self, rng):
+        names = tuple(f"layer{i}" for i in range(max(1, self.cfg.num_layers))
+                      ) + ("feat", "hidden")
+        return dict(zip(names, jax.random.split(rng, len(names))))
+
+    def apply(self, params, state, graph, src, rel, *, train=False, rng=None):
+        rngs = self.make_rngs(rng) if rng is not None else {}
+        all_ent, all_rel, _ = self.encode(
+            params, state, graph, train=train, rngs=rngs)
+        logits, dec_state = self.decode(
+            params, state, all_ent, all_rel, src, rel, train=train, rngs=rngs)
+        return logits, RGATState(decoder=dec_state)
