@@ -526,3 +526,41 @@ def test_sharded_step_with_rbg_keys(toy, toy_cfg, eight_devices):
             ps, ss, os_, gs, jnp.float32(1e-3), q, lbl, mask,
             root_key(cfg, 3))
     assert np.isfinite(float(loss))
+
+
+def test_rgat_epoch_matches_single_device(toy, toy_cfg, eight_devices):
+    """The RGAT family's scanned epoch under the 2x4 mesh (GSPMD over the
+    edge partition: sharded segment-softmax + segment-sums) equals the
+    single-device epoch."""
+    from kgc_gcn_tpu.data.graph import build_graph
+
+    ds, _, banks = toy
+    g0 = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                     pad_to=512)   # 8-way divisible edge padding
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          batch_size=4, data_axis=2, graph_axis=4)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g0.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg).init(params)
+    host = lambda t: jax.tree.map(np.asarray, t)
+    params_h, state_h, opt_h = host(params), host(state), host(opt)
+    dev = lambda t: jax.tree.map(jnp.asarray, t)
+
+    t0 = Trainer(cfg.replace(data_axis=1, graph_axis=1), model, g0, banks)
+    p1, *_ , loss1 = t0.train_epoch(
+        dev(params_h), dev(state_h), dev(opt_h), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    mesh = make_mesh(2, 4)
+    gs = shard_graph(g0, mesh)
+    tm = Trainer(cfg, model, gs, banks, mesh=mesh)
+    p2, *_, loss2 = tm.train_epoch(
+        shard_params(dev(params_h), mesh), shard_params(dev(state_h), mesh),
+        shard_params(dev(opt_h), mesh), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
+    assert max(jax.tree.leaves(deltas)) < 1e-5
