@@ -34,6 +34,7 @@ config under the requested name):
   fb15k             pallas at FB15k-237 scale (N=14541, R=237, E=272115)
   fb15k_best        fb15k + bf16 compute + bf16 moments (the FB15k record)
   fb15k_sx          fb15k + stacked_xla (the full-precision FB15k record)
+  rgat              RGAT family (4-head attention, distmult) at WN18RR scale
   eval              filtered-ranking EVALUATION throughput (queries/s)
   multichip         edge-partition scaling-efficiency harness (subprocess)
 """
@@ -47,7 +48,7 @@ import numpy as np
 
 VALID_MODES = frozenset((
     "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
-    "fb15k", "fb15k_best", "fb15k_sx", "eval", "multichip"))
+    "fb15k", "fb15k_best", "fb15k_sx", "rgat", "eval", "multichip"))
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
@@ -143,6 +144,9 @@ def main(mode: str = "pallas"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "bf16":
         cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16")
+    elif mode == "rgat":
+        # attention family: XLA segment-softmax path (no Pallas kernels)
+        cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
