@@ -21,6 +21,6 @@ from kgc_gcn_tpu.config import Config, dataset_preset
 from kgc_gcn_tpu.data.dataset import KGDataset
 from kgc_gcn_tpu.data.graph import Graph
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["Config", "dataset_preset", "KGDataset", "Graph", "__version__"]

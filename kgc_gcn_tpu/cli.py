@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore_dir", default=None)
     p.add_argument("--restore_torch", default=None,
                    help="import a reference (PyTorch) last.ckpt file")
+    p.add_argument("--init_embeddings", default=None,
+                   help="warm-start entity/relation embedding tables from "
+                        "an .npz with parameter-shaped 'entity_embedding' / "
+                        "'relation_embedding' arrays (checkpoint restore "
+                        "still wins if both are given)")
     p.add_argument("--multi_gpu", action="store_true",
                    help="accepted for parity; sharding is controlled by --data_axis/--graph_axis")
     p.add_argument("--batch_size", default=128, type=int)
@@ -267,6 +272,12 @@ def main(argv=None) -> int:
         trainer = NegativeSamplingTrainer(cfg, model, graph, banks, mesh=mesh)
     else:
         trainer = Trainer(cfg, model, graph, banks, mesh=mesh)
+
+    if args.init_embeddings:
+        from kgc_gcn_tpu.models.common import init_embeddings_from_npz
+        params = init_embeddings_from_npz(params, args.init_embeddings)
+        logging.info("Initialized embedding tables from %s",
+                     args.init_embeddings)
 
     best = 0.0
     if cfg.restore_torch is not None:

@@ -127,3 +127,39 @@ def dropout(x: jax.Array, rate: float, key: Optional[jax.Array],
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def init_embeddings_from_npz(params, path: str):
+    """Warm-start embedding tables from an ``.npz`` (framework extension).
+
+    Recognized keys: ``entity_embedding`` (N, gcn_in_dim) and
+    ``relation_embedding`` (2R, d) — the PARAMETER tables (not the encoder
+    outputs that ``serve.Predictor.export_tables`` writes).  Shapes must
+    match exactly; at least one key must apply.  Returns params with the
+    matching leaves replaced.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    data = np.load(path, allow_pickle=False)
+    updates = {}
+    for key in ("entity_embedding", "relation_embedding"):
+        if key not in data.files:
+            continue
+        if not hasattr(params, key):
+            raise ValueError(f"{key!r} in {path} but this model family has "
+                             "no such parameter")
+        cur = getattr(params, key)
+        arr = np.asarray(data[key], np.float32)
+        if arr.shape != tuple(cur.shape):
+            raise ValueError(
+                f"{key} shape {arr.shape} != model shape {tuple(cur.shape)}"
+                f" (is this an export_tables file? those hold ENCODED"
+                f" tables, not parameters)")
+        updates[key] = jnp.asarray(arr)
+    if not updates:
+        raise ValueError(
+            f"{path} has none of entity_embedding/relation_embedding "
+            f"(found: {sorted(data.files)})")
+    return dataclasses.replace(params, **updates)

@@ -94,3 +94,34 @@ def test_cli_params_json_records_effective_config(tmp_path):
     back = Config.from_json(str(p))
     assert back == cfg
     assert back.batch_size == 64 and back.learning_rate == 0.002
+
+
+def test_init_embeddings_from_npz(tmp_path):
+    """Warm-start replaces exactly the matching parameter tables; shape
+    mismatches and key-less files fail loudly."""
+    import jax
+    import numpy as np
+    import pytest
+    from kgc_gcn_tpu.config import dataset_preset
+    from kgc_gcn_tpu.models import build_model
+    from kgc_gcn_tpu.models.common import init_embeddings_from_npz
+
+    cfg = dataset_preset("Toy", gcn_in_dim=8, gcn_out_dim=32, k_w=4, k_h=8,
+                         num_filter=2, kernel_size=3)
+    model = build_model(cfg, 11, 3, 20, e_pad=32)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ent = rng.normal(size=params.entity_embedding.shape).astype(np.float32)
+    f = tmp_path / "warm.npz"
+    np.savez(f, entity_embedding=ent)
+    out = init_embeddings_from_npz(params, str(f))
+    np.testing.assert_array_equal(np.asarray(out.entity_embedding), ent)
+    np.testing.assert_array_equal(np.asarray(out.relation_embedding),
+                                  np.asarray(params.relation_embedding))
+
+    np.savez(tmp_path / "bad.npz", entity_embedding=ent[:, :4])
+    with pytest.raises(ValueError, match="shape"):
+        init_embeddings_from_npz(params, str(tmp_path / "bad.npz"))
+    np.savez(tmp_path / "none.npz", other=ent)
+    with pytest.raises(ValueError, match="none of"):
+        init_embeddings_from_npz(params, str(tmp_path / "none.npz"))
