@@ -323,15 +323,20 @@ def main(argv=None) -> int:
     if cfg.do_test:
         if cfg.restore_dir is None and cfg.restore_torch is None:
             raise ValueError("Must specify restore dir for testing")
-        trainer.evaluate(params, state, "test", mark="Test")
         if args.per_relation:
+            # ONE ranking pass serves both reports: the corpus metrics are
+            # the count-weighted mean of the per-relation ones (exact;
+            # tests/test_train.py pins the equality)
+            from kgc_gcn_tpu.ops.ranking import corpus_from_per_rel
+            from kgc_gcn_tpu.train.loop import log_metrics
             per = trainer.evaluate_per_relation(params, state, "test")
+            log_metrics("Test", corpus_from_per_rel(per))
             id2rel = {i: r for r, i in ds.relation2id.items()
                       if i < ds.num_relation}
             rows = [
-                {"relation": id2rel[i], **{k: (None if np.isnan(v[i]) else
-                                               round(float(v[i]), 5))
-                                           for k, v in per.items()}}
+                {"relation": id2rel[i], "count": int(per["count"][i]),
+                 **{k: (None if np.isnan(v[i]) else round(float(v[i]), 5))
+                    for k, v in per.items() if k != "count"}}
                 for i in range(ds.num_relation)]
             if is_host_zero():
                 import json
@@ -340,11 +345,15 @@ def main(argv=None) -> int:
                     json.dump(rows, f, indent=2)
             ranked = sorted((r for r in rows if r["count"]),
                             key=lambda r: r["mrr"])
-            for tag, sel in (("worst", ranked[:5]), ("best", ranked[-5:])):
+            worst = ranked[:5]
+            best = [r for r in ranked[-5:] if r not in worst]
+            for tag, sel in (("worst", worst), ("best", best)):
                 for r in sel:
                     logging.info("- per-relation (%s): %s  mrr=%.3f "
                                  "hits@10=%.3f n=%d", tag, r["relation"],
-                                 r["mrr"], r["hits@10"], int(r["count"]))
+                                 r["mrr"], r["hits@10"], r["count"])
+        else:
+            trainer.evaluate(params, state, "test", mark="Test")
     if args.do_predict:
         from kgc_gcn_tpu.serve import Predictor, serve_file, serve_stream
         predictor = Predictor(cfg, model, graph, params, state,

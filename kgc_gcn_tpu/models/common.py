@@ -138,8 +138,6 @@ def init_embeddings_from_npz(params, path: str):
     match exactly; at least one key must apply.  Returns params with the
     matching leaves replaced.
     """
-    import dataclasses
-
     import numpy as np
 
     data = np.load(path, allow_pickle=False)

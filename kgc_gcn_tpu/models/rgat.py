@@ -35,6 +35,7 @@ from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.data.graph import Graph, GraphHalf
 from kgc_gcn_tpu.models.common import dropout, xavier_uniform
 from kgc_gcn_tpu.models.decoders import DECODERS
+from kgc_gcn_tpu.models.family_base import DecoderFamilyMixin
 
 
 @jax.tree_util.register_dataclass
@@ -91,10 +92,16 @@ def _attend_half(
     nh, dh = layer.att_src.shape
     z = h[half.src] * layer.rel_mult[half.rel]               # (E, d_out)
     zh = z.reshape(-1, nh, dh)                               # (E, H, dh)
+    # the destination term is a per-NODE reduction — precompute it (N, H)
+    # and gather H floats per edge instead of gathering the full (E, d_out)
+    # h[dst] rows (d_out/H x less HBM traffic on the hot path; large
+    # permutation gathers run well under peak in context, BENCH_NOTES)
+    score_dst = jnp.einsum("nhd,hd->nh", h.reshape(n_ent, nh, dh),
+                           layer.att_dst,
+                           preferred_element_type=jnp.float32)   # (N, H)
     s = (jnp.einsum("ehd,hd->eh", zh, layer.att_src,
                     preferred_element_type=jnp.float32)
-         + jnp.einsum("ehd,hd->eh", h[half.dst].reshape(-1, nh, dh),
-                      layer.att_dst, preferred_element_type=jnp.float32)
+         + score_dst[half.dst]
          + layer.rel_bias[half.rel])                         # (E, H)
     s = jax.nn.leaky_relu(s, neg_slope)
     # padding edges (norm == 0) must not participate in the softmax
@@ -105,15 +112,19 @@ def _attend_half(
     return out.reshape(n_ent, nh * dh)
 
 
-class RGAT:
+class RGAT(DecoderFamilyMixin):
     """Model family 'rgat' — relation-typed GAT encoder + any decoder."""
+
+    _state_cls = RGATState
 
     def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
         self.cfg = cfg
         self.n_ent = n_ent
         self.n_rel = n_rel
         self.n_edge = n_edge
-        self.nh = max(1, cfg.num_heads)
+        if cfg.num_heads < 1:
+            raise ValueError(f"num_heads={cfg.num_heads} must be >= 1")
+        self.nh = cfg.num_heads
         if cfg.gcn_out_dim % self.nh:
             raise ValueError(f"num_heads={self.nh} must divide "
                              f"gcn_out_dim={cfg.gcn_out_dim}")
@@ -177,44 +188,3 @@ class RGAT:
             x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
         return x, params.relation_embedding, None
 
-    def decode(self, params, state, all_ent, all_rel, src, rel, *,
-               train=False, rngs=None):
-        return self._dec_apply(
-            params.decoder, state.decoder, self.cfg,
-            all_ent[src], all_rel[rel], all_ent, train=train, rngs=rngs)
-
-    def query_and_bias(self, params, state, all_ent, all_rel, src, rel, *,
-                       train=False, rngs=None):
-        """Decoder trunk for the fused scoring+BCE loss (see models/mgcn.py)."""
-        from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
-        trunk = QUERY_TRUNKS[self.cfg.decoder]
-        h, dec_state = trunk(
-            params.decoder, state.decoder, self.cfg, all_ent[src],
-            all_rel[rel], train=train, rngs=rngs)
-        return h, params.decoder.ent_bias, dec_state
-
-    def rebuild_state(self, state, enc_aux, dec_state):
-        del enc_aux
-        return RGATState(decoder=dec_state)
-
-    def score_candidates(self, params, state, all_ent, all_rel, src, rel,
-                         cand, *, train=False, rngs=None):
-        from kgc_gcn_tpu.models.decoders import CANDIDATE_SCORERS
-        scorer = CANDIDATE_SCORERS[self.cfg.decoder]
-        return scorer(
-            params.decoder, state.decoder, self.cfg,
-            all_ent[src], all_rel[rel], all_ent[cand], cand,
-            train=train, rngs=rngs)
-
-    def make_rngs(self, rng):
-        names = tuple(f"layer{i}" for i in range(max(1, self.cfg.num_layers))
-                      ) + ("feat", "hidden")
-        return dict(zip(names, jax.random.split(rng, len(names))))
-
-    def apply(self, params, state, graph, src, rel, *, train=False, rng=None):
-        rngs = self.make_rngs(rng) if rng is not None else {}
-        all_ent, all_rel, _ = self.encode(
-            params, state, graph, train=train, rngs=rngs)
-        logits, dec_state = self.decode(
-            params, state, all_ent, all_rel, src, rel, train=train, rngs=rngs)
-        return logits, RGATState(decoder=dec_state)

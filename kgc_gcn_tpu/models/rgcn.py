@@ -34,6 +34,7 @@ from kgc_gcn_tpu.config import Config
 from kgc_gcn_tpu.data.graph import Graph, GraphHalf
 from kgc_gcn_tpu.models.common import dropout, xavier_uniform
 from kgc_gcn_tpu.models.decoders import DECODERS
+from kgc_gcn_tpu.models.family_base import DecoderFamilyMixin
 
 
 @jax.tree_util.register_dataclass
@@ -115,9 +116,11 @@ def _block_aggregate(
     return out
 
 
-class RGCN:
+class RGCN(DecoderFamilyMixin):
     """Model family 'rgcn' — ``cfg.num_bases`` / ``cfg.num_blocks`` select the
     relation-weight decomposition (basis by default)."""
+
+    _state_cls = RGCNState
 
     def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
         self.cfg = cfg
@@ -197,46 +200,3 @@ class RGCN:
             x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
         return x, params.relation_embedding, None
 
-    def decode(self, params, state, all_ent, all_rel, src, rel, *,
-               train=False, rngs=None):
-        return self._dec_apply(
-            params.decoder, state.decoder, self.cfg,
-            all_ent[src], all_rel[rel], all_ent, train=train, rngs=rngs)
-
-    def query_and_bias(self, params, state, all_ent, all_rel, src, rel, *,
-                       train=False, rngs=None):
-        """Decoder trunk for the fused scoring+BCE loss (see models/mgcn.py)."""
-        from kgc_gcn_tpu.models.decoders import QUERY_TRUNKS
-        trunk = QUERY_TRUNKS[self.cfg.decoder]
-        h, dec_state = trunk(
-            params.decoder, state.decoder, self.cfg, all_ent[src],
-            all_rel[rel], train=train, rngs=rngs)
-        return h, params.decoder.ent_bias, dec_state
-
-    def rebuild_state(self, state, enc_aux, dec_state):
-        del enc_aux
-        return RGCNState(decoder=dec_state)
-
-    def score_candidates(self, params, state, all_ent, all_rel, src, rel,
-                         cand, *, train=False, rngs=None):
-        from kgc_gcn_tpu.models.decoders import CANDIDATE_SCORERS
-        scorer = CANDIDATE_SCORERS[self.cfg.decoder]
-        return scorer(
-            params.decoder, state.decoder, self.cfg,
-            all_ent[src], all_rel[rel], all_ent[cand], cand,
-            train=train, rngs=rngs)
-
-    def make_rngs(self, rng):
-        """Named dropout keys for one step — the single source of the names
-        (a missed name silently disables that dropout site)."""
-        names = tuple(f"layer{i}" for i in range(max(1, self.cfg.num_layers))
-                      ) + ("feat", "hidden")
-        return dict(zip(names, jax.random.split(rng, len(names))))
-
-    def apply(self, params, state, graph, src, rel, *, train=False, rng=None):
-        rngs = self.make_rngs(rng) if rng is not None else {}
-        all_ent, all_rel, _ = self.encode(
-            params, state, graph, train=train, rngs=rngs)
-        logits, dec_state = self.decode(
-            params, state, all_ent, all_rel, src, rel, train=train, rngs=rngs)
-        return logits, RGCNState(decoder=dec_state)

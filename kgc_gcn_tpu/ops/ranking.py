@@ -113,3 +113,21 @@ def combine_head_tail_by_rel(
             (np.asarray(tail[k]) + np.asarray(head[k])) / denom,
             np.nan)
     return out
+
+
+def corpus_from_per_rel(
+    per: Dict[str, "jax.Array"], hits: Sequence[int] = (1, 3, 10),
+) -> Dict[str, float]:
+    """Corpus-level metrics from the per-relation table — exact, because the
+    corpus metrics are the count-weighted mean of the per-relation ones
+    (pinned by tests/test_train.py): lets ``--per_relation`` report both from
+    ONE ranking pass instead of evaluating the test set twice."""
+    import numpy as np
+
+    c = np.asarray(per["count"], np.float64)
+    total = max(float(c.sum()), 1.0)
+    out = {}
+    for k in ("mr", "mrr", *(f"hits@{h}" for h in hits)):
+        v = np.where(c > 0, np.nan_to_num(np.asarray(per[k])), 0.0)
+        out[k] = round(float((v * c).sum() / total), 5)
+    return out

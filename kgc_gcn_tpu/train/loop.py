@@ -215,8 +215,10 @@ class Trainer:
 
     # ------------------------------------------------------------- evaluation
 
-    def _eval_pass(self, params, state, graph, idx, mask, queries, label_idx):
-        """Encode once, scan the decoder over batches; returns metric sums."""
+    def _eval_pass_with(self, metric_fn, params, state, graph, idx, mask,
+                        queries, label_idx):
+        """Encode once, scan the decoder over batches; metric_fn(ranks, q,
+        b_mask) -> pytree of partial sums (accumulated across batches)."""
         all_ent, all_rel, _ = self.model.encode(
             params, state, graph, train=False)
 
@@ -226,48 +228,44 @@ class Trainer:
             logits, _ = self.model.decode(
                 params, state, all_ent, all_rel, q[:, 0], q[:, 1], train=False)
             ranks = filtered_ranks(logits, q[:, 2], label_idx[b_idx])
-            m = rank_metrics(ranks, b_mask)
+            m = metric_fn(ranks, q, b_mask)
             return jax.tree.map(jnp.add, carry, m), None
 
-        zero = rank_metrics(jnp.ones((1,), jnp.int32), jnp.zeros((1,)))
+        zero = metric_fn(jnp.ones((1,), jnp.int32),
+                         jnp.ones((1, 3), jnp.int32), jnp.zeros((1,)))
         zeros = jax.tree.map(jnp.zeros_like, zero)
         sums, _ = jax.lax.scan(body, zeros, (idx, mask))
         return sums
 
+    def _eval_pass(self, params, state, graph, idx, mask, queries, label_idx):
+        """Corpus-level metric sums (reference main.py:80-103)."""
+        return self._eval_pass_with(
+            lambda ranks, q, m: rank_metrics(ranks, m),
+            params, state, graph, idx, mask, queries, label_idx)
+
     def _eval_rel_pass(self, params, state, graph, idx, mask, queries,
                        label_idx):
-        """Like _eval_pass but per-relation (R,) metric sums (rel % R)."""
+        """Per-relation (R,) metric sums (rel % R folds head onto forward)."""
         from kgc_gcn_tpu.ops.ranking import rank_metric_sums_by_rel
-        all_ent, all_rel, _ = self.model.encode(
-            params, state, graph, train=False)
         n_rel = self.model.n_rel
+        return self._eval_pass_with(
+            lambda ranks, q, m: rank_metric_sums_by_rel(
+                ranks, q[:, 1], m, n_rel),
+            params, state, graph, idx, mask, queries, label_idx)
 
-        def body(carry, batch):
-            b_idx, b_mask = batch
-            q = queries[b_idx]
-            logits, _ = self.model.decode(
-                params, state, all_ent, all_rel, q[:, 0], q[:, 1], train=False)
-            ranks = filtered_ranks(logits, q[:, 2], label_idx[b_idx])
-            m = rank_metric_sums_by_rel(ranks, q[:, 1], b_mask, n_rel)
-            return jax.tree.map(jnp.add, carry, m), None
-
-        zero = rank_metric_sums_by_rel(
-            jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1,)), n_rel)
-        sums, _ = jax.lax.scan(body, zero, (idx, mask))
-        return sums
-
-    def _predict(self, params, state, bank: QueryBank) -> Dict[str, float]:
-        cfg = self.cfg
-        bs = cfg.eval_batch_size or cfg.batch_size
+    def _batch_plan(self, bank: QueryBank):
+        """Deterministic (steps, B) eval batch plan, sharded under a mesh."""
+        bs = self.cfg.eval_batch_size or self.cfg.batch_size
         idx, mask = epoch_batches(
             bank.n_queries, bs, np.random.default_rng(0), shuffle=False)
         if self.mesh is not None:
             from kgc_gcn_tpu.parallel.mesh import shard_batches
-            idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
-                                      jnp.asarray(mask))
-        else:
-            idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+            return shard_batches(self.mesh, jnp.asarray(idx),
+                                 jnp.asarray(mask))
+        return jnp.asarray(idx), jnp.asarray(mask)
+
+    def _predict(self, params, state, bank: QueryBank) -> Dict[str, float]:
+        idx, mask = self._batch_plan(bank)
         sums = self._eval_pass_jit(
             params, state, self.graph, idx, mask,
             bank.queries, bank.label_idx)
@@ -279,19 +277,10 @@ class Trainer:
         arrays keyed count/mr/mrr/hits@{1,3,10}, head+tail combined onto the
         forward relation id; relations with no eval queries are NaN."""
         from kgc_gcn_tpu.ops.ranking import combine_head_tail_by_rel
-        cfg = self.cfg
-        bs = cfg.eval_batch_size or cfg.batch_size
         sums = {}
         for d in ("tail", "head"):
             bank = self.banks[f"{split}_{d}"]
-            idx, mask = epoch_batches(
-                bank.n_queries, bs, np.random.default_rng(0), shuffle=False)
-            if self.mesh is not None:
-                from kgc_gcn_tpu.parallel.mesh import shard_batches
-                idx, mask = shard_batches(self.mesh, jnp.asarray(idx),
-                                          jnp.asarray(mask))
-            else:
-                idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+            idx, mask = self._batch_plan(bank)
             sums[d] = self._eval_rel_pass_jit(
                 params, state, self.graph, idx, mask,
                 bank.queries, bank.label_idx)
@@ -303,9 +292,14 @@ class Trainer:
         tail = self._predict(params, state, self.banks[f"{split}_tail"])
         head = self._predict(params, state, self.banks[f"{split}_head"])
         results = combine_head_tail(tail, head)
-        logging.info("- %s metrics: %s  ", mark,
-                     "; ".join(f"{k}: {v:05.3f}" for k, v in results.items()))
+        log_metrics(mark, results)
         return results
+
+
+def log_metrics(mark: str, results: Dict[str, float]) -> None:
+    """The reference's metric log line (main.py:98-103 format)."""
+    logging.info("- %s metrics: %s  ", mark,
+                 "; ".join(f"{k}: {v:05.3f}" for k, v in results.items()))
 
 
 def train_and_evaluate(

@@ -94,8 +94,8 @@ def test_rgat_rejects_bad_heads(toy, toy_cfg):
 def test_rgat_generalizes_on_compositional_corpus():
     """Held-out MRR >> chance on the compositional ring corpus (the same
     generalization gate the other families pass, tests/test_generalization):
-    measured best-val 0.47 vs 0.042 chance over 400 epochs; the gate is 6x
-    chance (0.25) with early stop."""
+    measured best-val 0.47 vs 0.042 chance over 400 epochs (crosses 0.3 by
+    ~epoch 125 on CPU); the gate is 6x chance (0.25) with early stop."""
     from kgc_gcn_tpu.config import dataset_preset
     from kgc_gcn_tpu.data.batching import make_banks
     from kgc_gcn_tpu.data.dataset import build_dataset
@@ -119,7 +119,7 @@ def test_rgat_generalizes_on_compositional_corpus():
     trainer = Trainer(cfg, model, g, banks)
     rng = np.random.default_rng(0)
     best = 0.0
-    for epoch in range(1, 201):
+    for epoch in range(1, 401):
         params, state, opt, _ = trainer.train_epoch(
             params, state, opt, epoch, rng, jax.random.PRNGKey(epoch))
         if epoch % 25 == 0:
