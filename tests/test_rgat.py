@@ -128,3 +128,21 @@ def test_rgat_generalizes_on_compositional_corpus():
             if best >= 0.3:
                 break
     assert best > 0.25, f"held-out MRR {best:.3f} (chance 0.042)"
+
+
+def test_rgat_negative_sampling_smoke(toy, toy_cfg):
+    """RGAT composes with the negative-sampling trainer (self-adversarial)."""
+    ds, g, banks = toy
+    from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          train_mode="negative_sampling", num_negatives=4,
+                          neg_loss="self_adversarial")
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    trainer = NegativeSamplingTrainer(cfg, model, g, banks)
+    p, s, o, loss = trainer.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(0),
+        jax.random.PRNGKey(1))
+    assert np.isfinite(loss)

@@ -120,3 +120,29 @@ def test_export_tables(predictor, tmp_path):
     assert ds.entity2id[name0] == 0
     np.testing.assert_allclose(data["entity_embeddings"],
                                np.asarray(pred.all_ent))
+
+
+@pytest.mark.parametrize("family,kw", [
+    ("rgcn", dict(num_bases=2)),
+    ("rgat", dict(num_heads=4)),
+])
+def test_predictor_serves_every_family(toy, toy_cfg, family, kw):
+    """The encode-once Predictor is family-agnostic: top-k equals the full
+    forward for RGCN and RGAT too (the shared model protocol contract)."""
+    ds, graph, _ = toy
+    cfg = toy_cfg.replace(model=family, decoder="distmult", **kw)
+    model = build_model(cfg, ds.num_entity, ds.num_relation,
+                        ds.num_edge, e_pad=graph.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(cfg, model, graph, params, state,
+                     ds.entity2id, ds.relation2id)
+    src = np.array([0, 3], np.int32)
+    rel = np.array([1, 0], np.int32)
+    scores, idx = pred.top_k(src, rel, k=4)
+    logits, _ = model.apply(params, state, pred.graph, src, rel, train=False)
+    logits = np.asarray(logits)
+    for b in range(2):
+        order = np.argsort(-logits[b])[:4]
+        np.testing.assert_array_equal(np.asarray(idx)[b], order)
+        np.testing.assert_allclose(np.asarray(scores)[b], logits[b][order],
+                                   rtol=1e-5)
