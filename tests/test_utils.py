@@ -125,3 +125,30 @@ def test_init_embeddings_from_npz(tmp_path):
     np.savez(tmp_path / "none.npz", other=ent)
     with pytest.raises(ValueError, match="none of"):
         init_embeddings_from_npz(params, str(tmp_path / "none.npz"))
+
+
+def test_summarize_metrics(tmp_path):
+    import json
+    import sys
+    sys.path.insert(0, "scripts")
+    from summarize_metrics import summarize
+
+    f = tmp_path / "metrics.jsonl"
+    lines = [
+        {"run_start": True, "dataset": "Toy", "max_epoch": 3, "seed": 1,
+         "restored_best": 0.0},
+        {"epoch": 1, "loss": 2.0, "lr": 0.01, "sec": 1.0,
+         "val": {"mrr": 0.2, "mr": 5.0}},
+        {"epoch": 2, "loss": 1.5, "lr": 0.01, "sec": 0.5, "steps_per_s": 10,
+         "val": {"mrr": 0.5, "mr": 3.0}, "best_mrr": 0.5},
+        {"run_start": True, "dataset": "Toy", "max_epoch": 1, "seed": 2,
+         "restored_best": 0.5},
+        {"epoch": 1, "loss": 1.2, "lr": 0.01, "sec": 0.4, "steps_per_s": 12},
+    ]
+    f.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
+    rows = summarize(str(f))
+    assert len(rows) == 2
+    assert rows[0]["best_val_mrr"] == 0.5 and rows[0]["best_epoch"] == 2
+    assert rows[0]["epochs"] == 2 and rows[1]["epochs"] == 1
+    assert rows[1]["best_val_mrr"] is None
+    assert rows[0]["steps_per_s_median"] == 10
