@@ -159,3 +159,13 @@ def test_cli_per_relation_report(workdir):
     rows = json.load(open(exp / "per_relation.json"))
     assert rows and all("mrr" in r and "relation" in r for r in rows)
     assert all(not r["relation"].endswith("_reverse") for r in rows)
+
+
+def test_cli_profile_dir_captures_trace(workdir):
+    """--profile_dir writes a device trace of one post-compile epoch."""
+    prof = workdir / "prof"
+    assert _run(workdir, "--dataset", "Toy", "--do_train",
+                "--max_epoch", "3", "--eval_every", "3",
+                "--profile_dir", str(prof)) == 0
+    files = list(prof.rglob("*.trace.json.gz"))
+    assert files, list(prof.rglob("*"))[:10]
