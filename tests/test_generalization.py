@@ -100,3 +100,16 @@ def test_generalization_flagship_conve_beats_chance(sync_corpus):
     best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.25)
     assert best > 3 * CHANCE_MRR, \
         f"held-out MRR {best:.3f} vs chance {CHANCE_MRR:.3f}"
+
+
+def test_generalization_gate_rotate_decoder(sync_corpus):
+    """The RotatE decoder's inductive bias IS this corpus's structure (ring
+    relations are rotations): held-out MRR reaches 1.000 by ~epoch 75
+    (vs 0.042 chance).  Gate > 0.5 like the complex gate."""
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
+                         decoder="rotate", batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1,
+                         gcn_drop=0.1, conv_drop=0.0)
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.85)
+    assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
