@@ -564,3 +564,31 @@ def test_rgat_epoch_matches_single_device(toy, toy_cfg, eight_devices):
     deltas = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
     assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_per_relation_eval_matches_single_device(toy, toy_cfg, eight_devices):
+    """evaluate_per_relation under the 2x4 mesh equals single-device (the
+    per-relation segment sums ride the same sharded eval pass)."""
+    from kgc_gcn_tpu.data.graph import build_graph
+
+    ds, _, banks = toy
+    g0 = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                     pad_to=512)
+    cfg = toy_cfg.replace(batch_size=4, data_axis=2, graph_axis=4)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g0.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    t0 = Trainer(cfg.replace(data_axis=1, graph_axis=1), model, g0, banks)
+    single = t0.evaluate_per_relation(params, state, "valid")
+
+    mesh = make_mesh(2, 4)
+    gs = shard_graph(g0, mesh)
+    tm = Trainer(cfg, model, gs, banks, mesh=mesh)
+    sharded = tm.evaluate_per_relation(
+        shard_params(params, mesh), shard_params(state, mesh), "valid")
+
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
