@@ -169,3 +169,25 @@ def test_cli_profile_dir_captures_trace(workdir):
                 "--profile_dir", str(prof)) == 0
     files = list(prof.rglob("*.trace.json.gz"))
     assert files, list(prof.rglob("*"))[:10]
+
+
+def test_cli_init_embeddings_wiring(workdir):
+    """--init_embeddings seeds the tables through the CLI (wrong shapes fail
+    loudly before any training work)."""
+    from kgc_gcn_tpu.data.dataset import load_dataset
+
+    ds = load_dataset("Toy", str(workdir / "data"))
+    rng = np.random.default_rng(0)
+    good = workdir / "warm.npz"
+    np.savez(good, entity_embedding=rng.normal(
+        size=(ds.num_entity, 8)).astype(np.float32))  # gcn_in_dim=8 in _run
+    assert _run(workdir, "--dataset", "Toy", "--do_train",
+                "--max_epoch", "1", "--eval_every", "1",
+                "--init_embeddings", str(good)) == 0
+
+    bad = workdir / "bad.npz"
+    np.savez(bad, entity_embedding=rng.normal(
+        size=(ds.num_entity, 99)).astype(np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        _run(workdir, "--dataset", "Toy", "--do_train",
+             "--max_epoch", "1", "--init_embeddings", str(bad))
