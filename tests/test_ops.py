@@ -229,3 +229,32 @@ def test_self_adversarial_weights_are_constants():
     w = jax.nn.softmax(a_ * neg, axis=1)
     want = w * jax.nn.sigmoid(neg + g_)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(want), rtol=1e-5)
+
+
+def test_per_rel_combine_and_corpus_edge_cases():
+    """combine_head_tail_by_rel NaNs empty relations; corpus_from_per_rel
+    ignores them and reproduces combine_head_tail on the totals."""
+    from kgc_gcn_tpu.ops.ranking import (combine_head_tail,
+                                         combine_head_tail_by_rel,
+                                         corpus_from_per_rel,
+                                         rank_metric_sums_by_rel)
+
+    rng = np.random.default_rng(5)
+    n_rel, b = 4, 64
+    ranks = jnp.asarray(rng.integers(1, 30, size=b))
+    allowed = np.array([0, 1, 2, 4, 5, 6])      # nothing folds onto rel 3
+    rels = jnp.asarray(rng.choice(allowed, size=b))
+    mask = jnp.ones((b,))
+    tail = rank_metric_sums_by_rel(ranks, rels, mask, n_rel)
+    head = rank_metric_sums_by_rel(ranks, rels, mask, n_rel)
+    per = combine_head_tail_by_rel(tail, head)
+    assert np.isnan(per["mrr"][n_rel - 1])          # no queries -> NaN
+    assert per["count"][n_rel - 1] == 0
+
+    got = corpus_from_per_rel(per)
+    want = combine_head_tail({k: float(np.asarray(v).sum())
+                              for k, v in tail.items()},
+                             {k: float(np.asarray(v).sum())
+                              for k, v in head.items()})
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-4, (k, got[k], want[k])
