@@ -146,10 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_axis", default=1, type=int)
     p.add_argument("--graph_axis", default=1, type=int)
     p.add_argument("--entity_sharded", default="none",
-                   choices=["none", "gather", "ring"],
+                   choices=["none", "gather", "ring", "boundary"],
                    help="also shard the entity activations over the graph "
-                        "axis (all_gather+psum_scatter or ppermute-ring "
-                        "schedule; needs --graph_axis > 1)")
+                        "axis (all_gather+psum_scatter, ppermute-ring, or "
+                        "the boundary-compressed overlapped exchange; "
+                        "needs --graph_axis > 1)")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--experiments_dir", default="experiments")
     p.add_argument("--compile_cache_dir", default="",

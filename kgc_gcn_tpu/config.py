@@ -177,7 +177,7 @@ class Config:
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding
     graph_axis: int = 1              # mesh: edge partitioning
-    entity_sharded: str = "none"     # none | gather | ring — shard the
+    entity_sharded: str = "none"     # none|gather|ring|boundary — shard the
                                      # ENTITY activations over the graph axis
                                      # too (the graph analog of context/
                                      # sequence parallelism, SURVEY.md §5.7):

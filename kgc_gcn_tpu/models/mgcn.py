@@ -157,6 +157,8 @@ class MGCN:
         self._es_agg = None          # built by prepare_entity_sharding
         self._es_blocks = None
         self._es_csr = None          # gather+pallas per-shard CSR metadata
+        self._es_boundary = None     # per-half boundary-exchange aggregates
+        self.boundary_stats = None   # comm-volume accounting (per half)
         self._edge_pallas_agg = None  # built by prepare_edge_sharding
         self._edge_csr = None
 
@@ -395,6 +397,24 @@ class MGCN:
                 b, m = build_ring_blocks(getattr(graph, name), g, agg.n_pad)
                 blocks[name] = (put_global(b, row), put_global(m, row))
             self._es_blocks = blocks
+        elif cfg.entity_sharded == "boundary":
+            # boundary-compressed overlapped exchange (parallel/boundary.py):
+            # ship only the rows cross-shard edges actually read/write
+            import types
+
+            from kgc_gcn_tpu.parallel.boundary import (
+                build_boundary_plan, make_boundary_aggregate)
+            n_pad = -(-self.n_ent // g) * g
+            aggs, stats = {}, {}
+            for name in ("inb", "outb"):
+                plan, st = build_boundary_plan(getattr(graph, name), g, n_pad)
+                plan = jax.tree.map(lambda a: put_global(a, row), plan)
+                aggs[name] = make_boundary_aggregate(
+                    self.mesh, self.n_ent, plan)
+                stats[name] = st
+            self._es_boundary = aggs
+            self.boundary_stats = stats
+            agg = types.SimpleNamespace(n_pad=n_pad)
         elif cfg.use_pallas:
             # both scaling axes + the MXU kernel path: per-shard local CSR
             # over the padded row space (edge_parallel.py)
@@ -475,6 +495,11 @@ class MGCN:
                                   b_in, m_in)
             out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
                                    b_out, m_out)
+        elif self.cfg.entity_sharded == "boundary":
+            in_agg = self._es_boundary["inb"](
+                xp, rel_all, et_full[0], graph.inb)
+            out_agg = self._es_boundary["outb"](
+                xp, rel_all, et_full[1], graph.outb)
         elif self._es_csr is not None:   # gather schedule on the kernel path
             in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb,
                                   self._es_csr["inb"])

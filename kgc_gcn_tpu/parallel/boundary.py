@@ -1,0 +1,297 @@
+"""Boundary-compressed, overlapped entity exchange (``--entity_sharded
+boundary``) — the graph analog of halo exchange in stencil codes.
+
+The ``gather`` schedule (edge_parallel.make_entity_sharded_aggregate) moves
+every entity row twice per layer per half: an ``all_gather`` assembles the
+full (N, d) source matrix on every device and a ``psum_scatter`` reduces the
+full (N, d) partial accumulator.  The ``ring`` schedule cuts the transient
+buffer to one shard but still moves all N rows around the ring plus the full
+psum_scatter.  Both ignore that each device's edges only *read* a subset of
+rows (the sources referenced by its local edges) and only *write* a subset
+(the dst rows covered by its contiguous dst-sorted slice).
+
+This schedule exchanges exactly those subsets.  The graph is static, so the
+boundary sets are host-precomputed once (:func:`build_boundary_plan`):
+
+  input side — for each (device ``i``, source shard ``s``) the sorted unique
+  source rows ``U[i][s]`` that ``i``'s edges read from ``s``.  At step ``t``
+  every device ``s`` sends ``U[(s+t) % G][s]`` (a compact gather from its own
+  x shard) to device ``(s+t) % G`` with a shift-``t`` ``ppermute``.  All G-1
+  permutes depend only on ``x_local``, so they are issued before any block
+  compute and XLA's latency-hiding scheduler overlaps the transfers with the
+  local aggregation (the SURVEY.md §2.2/§5.7 "overlap the exchange with local
+  aggregation" clause).  Edges are grouped by source shard into static blocks
+  (like the ring's build_ring_blocks) whose source indices are pre-remapped
+  into the compact received buffers.
+
+  output side — each device accumulates into its *unique local dst rows*
+  only (a (D_max, d) compressed accumulator, not (N, d)).  Rows owned by the
+  device's own entity shard are added locally; rows owned by shard
+  ``(i+k) % G`` are routed with a shift-``k`` ``ppermute`` of the compact
+  row block and scatter-added on the receiver.  Because the edge slices are
+  contiguous in dst-sorted order, a row only straddles devices at slice
+  boundaries — collisions are handled by the scatter-add.
+
+Everything is expressed in plain differentiable JAX ops (gather, sorted
+segment-sum, ppermute, scatter-add), so training gradients flow through the
+exchange via the standard transposes (ppermute^T = inverse shift).
+
+Reference counterpart: the reference caps graph scale at single-GPU memory
+(reference model.py keeps the full (N, d) state resident); this module is
+the TPU-native scaling axis SURVEY.md §5.7 calls for, with communication
+proportional to the partition's *boundary* rather than to N.  The comm
+volume is asserted in tests/test_boundary.py and shrinks further under the
+locality partitioner (data/partition.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from kgc_gcn_tpu.data.graph import GraphHalf
+from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BoundaryPlan:
+    """Static per-device exchange metadata (leading axis = G, shard P(graph)).
+
+    Array fields are data leaves; the step lists and sizes are static aux
+    data, so a plan travels through jit/shard_map without retracing hazards.
+    """
+
+    # --- input exchange + block aggregation ---
+    blk: jax.Array        # int32 (G, G, B_e) [i, t] = local edge positions
+                          #   whose src lives in shard (i - t) % G; padded by
+                          #   repeating the last entry (keeps dst sorted)
+    blk_mask: jax.Array   # f32 (G, G, B_e) — 1 on real entries
+    loc_src: jax.Array    # int32 (G, G, B_e) — t=0: src - i*rows_per (into
+                          #   x_local); t>0: position in the received buffer
+    send_idx: jax.Array   # int32 (G, G, B_max) — [i, t]: local x rows device
+                          #   i sends at step t to device (i + t) % G
+                          #   (= U[(i+t)%G][i] - i*rows_per, sorted)
+    dst_loc: jax.Array    # int32 (G, E_loc) — each local edge's position in
+                          #   the device's unique-dst compressed row space
+    # --- output routing (compressed accumulator -> owner shards) ---
+    self_pos: jax.Array   # int32 (G, S0) — accumulator rows owned locally
+    self_dst: jax.Array   # int32 (G, S0) — their local output rows
+    self_mask: jax.Array  # f32 (G, S0)
+    out_send: jax.Array   # int32 (G, K, S_max) — accumulator rows sent at
+                          #   output step k_steps[j] to device (i + k) % G
+    out_mask: jax.Array   # f32 (G, K, S_max)
+    recv_pos: jax.Array   # int32 (G, K, S_max) — receiver-local output rows
+                          #   for step k_steps[j] arrivals (from (i - k) % G)
+    # --- static ---
+    t_steps: tuple = _static(default=())  # input steps with any traffic
+    k_steps: tuple = _static(default=())  # output steps with any traffic
+    d_max: int = _static(default=1)       # compressed accumulator rows
+    rows_per: int = _static(default=1)    # entity rows per device (n_pad/G)
+
+
+def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
+    """Host-side boundary analysis of one direction half.
+
+    Returns ``(plan, stats)``; ``stats`` carries the comm-volume accounting
+    (padded rows actually shipped per device per layer vs the ``n_pad`` rows
+    the gather/ring schedules move) — asserted in tests and reported by
+    ``scripts/boundary_report.py``.
+    """
+    from kgc_gcn_tpu.parallel.distributed import host_array
+    src = host_array(half.src)
+    dst = host_array(half.dst)
+    e_pad = int(src.shape[0])
+    assert e_pad % g_size == 0 and n_pad % g_size == 0, (e_pad, n_pad, g_size)
+    e_loc = e_pad // g_size
+    rows_per = n_pad // g_size
+    G = g_size
+
+    U = [[np.empty(0, np.int64)] * G for _ in range(G)]
+    blocks = [[None] * G for _ in range(G)]
+    uniq_d, inv_d = [], []
+    for i in range(G):
+        ls = src[i * e_loc: (i + 1) * e_loc]
+        ld = dst[i * e_loc: (i + 1) * e_loc]
+        u, inv = np.unique(ld, return_inverse=True)
+        uniq_d.append(u)
+        inv_d.append(inv.astype(np.int32))
+        sh = np.minimum(ls // rows_per, G - 1)
+        for t in range(G):
+            s = (i - t) % G
+            pos = np.nonzero(sh == s)[0].astype(np.int32)
+            blocks[i][t] = pos
+            if t:
+                U[i][s] = np.unique(ls[pos])
+
+    b_e = max(1, max(len(blocks[i][t]) for i in range(G) for t in range(G)))
+    b_max = max([1] + [len(U[i][s]) for i in range(G) for s in range(G)])
+    t_steps = tuple(
+        t for t in range(1, G)
+        if any(len(U[i][(i - t) % G]) for i in range(G)))
+    d_max = max(1, max(len(u) for u in uniq_d))
+
+    blk = np.zeros((G, G, b_e), np.int32)
+    blk_mask = np.zeros((G, G, b_e), np.float32)
+    loc_src = np.zeros((G, G, b_e), np.int32)
+    send_idx = np.zeros((G, G, b_max), np.int32)
+    for i in range(G):
+        for t in range(G):
+            pos = blocks[i][t]
+            n = len(pos)
+            if not n:
+                continue
+            blk[i, t, :n] = pos
+            blk[i, t, n:] = pos[-1]
+            blk_mask[i, t, :n] = 1.0
+            ls_blk = src[i * e_loc + pos]
+            if t == 0:
+                loc = ls_blk - i * rows_per
+            else:
+                loc = np.searchsorted(U[i][(i - t) % G], ls_blk)
+            loc_src[i, t, :n] = loc
+            loc_src[i, t, n:] = loc[-1]
+        for t in t_steps:
+            r = (i + t) % G
+            u = U[r][i]
+            if len(u):
+                send_idx[i, t, : len(u)] = u - i * rows_per
+
+    # output routing: group each device's unique dst rows by owner offset
+    koffs = [((uniq_d[i] // rows_per) - i) % G for i in range(G)]
+    k_counts = {k: 0 for k in range(1, G)}
+    s0 = 1
+    for i in range(G):
+        s0 = max(s0, int(np.sum(koffs[i] == 0)))
+        for k in range(1, G):
+            k_counts[k] = max(k_counts[k], int(np.sum(koffs[i] == k)))
+    k_steps = tuple(k for k in range(1, G) if k_counts[k])
+    s_max = max([1] + [k_counts[k] for k in k_steps])
+
+    self_pos = np.zeros((G, s0), np.int32)
+    self_dst = np.zeros((G, s0), np.int32)
+    self_mask = np.zeros((G, s0), np.float32)
+    kk = max(1, len(k_steps))
+    out_send = np.zeros((G, kk, s_max), np.int32)
+    out_mask = np.zeros((G, kk, s_max), np.float32)
+    recv_pos = np.zeros((G, kk, s_max), np.int32)
+    in_rows = np.zeros(G, np.int64)   # real boundary rows received per device
+    out_rows = np.zeros(G, np.int64)  # real accumulator rows sent per device
+    for i in range(G):
+        u, koff = uniq_d[i], koffs[i]
+        p = np.nonzero(koff == 0)[0].astype(np.int32)
+        self_pos[i, : len(p)] = p
+        self_dst[i, : len(p)] = u[p] - i * rows_per
+        self_mask[i, : len(p)] = 1.0
+        for j, k in enumerate(k_steps):
+            p = np.nonzero(koff == k)[0].astype(np.int32)
+            if not len(p):
+                continue
+            out_send[i, j, : len(p)] = p
+            out_mask[i, j, : len(p)] = 1.0
+            r = (i + k) % G
+            recv_pos[r, j, : len(p)] = u[p] - r * rows_per
+            out_rows[i] += len(p)
+        in_rows[i] = sum(len(U[i][s]) for s in range(G))
+
+    plan = BoundaryPlan(
+        blk=jnp.asarray(blk), blk_mask=jnp.asarray(blk_mask),
+        loc_src=jnp.asarray(loc_src), send_idx=jnp.asarray(send_idx),
+        dst_loc=jnp.asarray(np.stack(inv_d)),
+        self_pos=jnp.asarray(self_pos), self_dst=jnp.asarray(self_dst),
+        self_mask=jnp.asarray(self_mask),
+        out_send=jnp.asarray(out_send), out_mask=jnp.asarray(out_mask),
+        recv_pos=jnp.asarray(recv_pos),
+        t_steps=t_steps, k_steps=k_steps, d_max=d_max, rows_per=rows_per)
+    stats = {
+        "n_pad": n_pad,
+        "rows_per": rows_per,
+        # what one device actually ships per layer for this half
+        "in_rows_real_max": int(in_rows.max()),
+        "in_rows_padded": len(t_steps) * b_max,
+        "out_rows_real_max": int(out_rows.max()),
+        "out_rows_padded": len(k_steps) * s_max,
+        # what the gather schedule ships: all_gather receives (G-1)/G * n_pad
+        # rows and psum_scatter another (G-1)/G * n_pad per device
+        "gather_rows": 2 * (G - 1) * n_pad // G,
+        "d_max": d_max,
+    }
+    return plan, stats
+
+
+def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
+    """Build ``agg(x_sharded, rel_all, etab, half) -> (n_pad, d) row-sharded``
+    for one half, numerically equal to the gather/ring schedules (up to float
+    reassociation) with boundary-compressed exchange.
+
+    The plan's arrays must be device_put with ``P(graph)`` on axis 0 (the
+    model's prepare_entity_sharding does this).
+    """
+    g_size = mesh.shape[GRAPH_AXIS]
+    n_pad = -(-n_ent // g_size) * g_size
+    assert plan.rows_per == n_pad // g_size
+    t_steps, k_steps, d_max = plan.t_steps, plan.k_steps, plan.d_max
+    rows_per = plan.rows_per
+
+    edge = P(GRAPH_AXIS)
+    rep = P()
+    row = P(GRAPH_AXIS)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(row, rep, edge, edge, edge, edge, edge, row),
+        out_specs=row,
+    )
+    def _agg(x_local, rel_all, etab, src, dst, rel, norm, pl: BoundaryPlan):
+        del src, dst   # folded into the static plan (blocks + dst_loc)
+        blk, blk_mask = pl.blk[0], pl.blk_mask[0]
+        loc_src, send_idx, dst_loc = pl.loc_src[0], pl.send_idx[0], pl.dst_loc[0]
+        d = x_local.shape[1]
+
+        # issue EVERY boundary-row transfer first: each depends only on
+        # x_local, so the transfers ride ICI while the blocks aggregate
+        bufs = {}
+        for t in t_steps:
+            perm = [(q, (q + t) % g_size) for q in range(g_size)]
+            bufs[t] = jax.lax.ppermute(
+                x_local[send_idx[t]], GRAPH_AXIS, perm)
+
+        def block(t, xbuf):
+            e = blk[t]
+            msg = (xbuf[loc_src[t]] * rel_all[rel[e]] * etab[e]
+                   * (norm[e] * blk_mask[t])[:, None])
+            return jax.ops.segment_sum(
+                msg, dst_loc[e], num_segments=d_max, indices_are_sorted=True)
+
+        acc = block(0, x_local)
+        for t in t_steps:
+            acc = acc + block(t, bufs[t])
+
+        # route the compressed accumulator rows to their owner shards
+        out = jax.lax.pcast(jnp.zeros((rows_per, d), acc.dtype),
+                            (GRAPH_AXIS,), to="varying")
+        out = out.at[pl.self_dst[0]].add(
+            acc[pl.self_pos[0]] * pl.self_mask[0][:, None])
+        for j, k in enumerate(k_steps):
+            perm = [(q, (q + k) % g_size) for q in range(g_size)]
+            sendbuf = acc[pl.out_send[0, j]] * pl.out_mask[0, j][:, None]
+            out = out.at[pl.recv_pos[0, j]].add(
+                jax.lax.ppermute(sendbuf, GRAPH_AXIS, perm))
+        return out
+
+    def agg(x_sharded, rel_all, etab, half: GraphHalf, plan_dev=None):
+        return _agg(x_sharded, rel_all, etab, half.src, half.dst, half.rel,
+                    half.norm, plan_dev if plan_dev is not None else plan)
+
+    agg.n_pad = n_pad
+    return agg

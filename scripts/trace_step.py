@@ -58,6 +58,8 @@ def main(mode="pallas"):
         cfg = cfg.replace(use_pallas=True)
     elif mode in ("stacked_xla", "fb15k_sx"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
+    elif mode == "rgat":
+        cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4)
     if bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)

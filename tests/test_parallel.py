@@ -275,7 +275,8 @@ def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
         assert abs(r1[k] - r2[k]) < 1e-3, (k, r1[k], r2[k])
 
 
-@pytest.mark.parametrize("schedule", ["gather", "ring", "gather+pallas"])
+@pytest.mark.parametrize("schedule",
+                         ["gather", "ring", "boundary", "gather+pallas"])
 def test_entity_sharded_train_step_matches_single_device(
         toy, toy_cfg, eight_devices, schedule):
     """PRODUCT-grade entity sharding: a full train step (fwd + loss + bwd +
@@ -412,7 +413,7 @@ def test_pallas_train_step_under_mesh_matches_single_device(toy, toy_cfg,
                                    rtol=2e-2, atol=1e-3)
 
 
-@pytest.mark.parametrize("schedule", ["gather", "ring"])
+@pytest.mark.parametrize("schedule", ["gather", "ring", "boundary"])
 def test_entity_sharded_multilayer_matches_single_device(toy, toy_cfg,
                                                          eight_devices,
                                                          schedule):
