@@ -35,6 +35,7 @@ config under the requested name):
   fb15k_best        fb15k + bf16 compute + bf16 moments (the FB15k record)
   fb15k_sx          fb15k + stacked_xla (the full-precision FB15k record)
   rgat              RGAT family (4-head attention, distmult) at WN18RR scale
+  rgat_pallas       rgat + the MXU CSR attention-aggregation kernel (+46%)
   eval              filtered-ranking EVALUATION throughput (queries/s)
   multichip         edge-partition scaling-efficiency harness (subprocess)
 """
@@ -48,7 +49,8 @@ import numpy as np
 
 VALID_MODES = frozenset((
     "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
-    "fb15k", "fb15k_best", "fb15k_sx", "rgat", "eval", "multichip"))
+    "fb15k", "fb15k_best", "fb15k_sx", "rgat", "rgat_pallas", "eval",
+    "multichip"))
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
@@ -147,6 +149,12 @@ def main(mode: str = "pallas"):
     elif mode == "rgat":
         # attention family: XLA segment-softmax path (no Pallas kernels)
         cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4)
+    elif mode == "rgat_pallas":
+        # attention family with the MXU CSR aggregation kernel
+        # (ops/spmm_pallas.attn_aggregate_pallas; +46% over rgat, BENCH_NOTES
+        # round 3); softmax logits ops stay XLA
+        cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          use_pallas=True)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)

@@ -21,6 +21,7 @@ def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
     if cfg.model in ("rgcn", "rgat"):
         if getattr(cfg, "entity_sharded", "none") != "none":
             raise ValueError("entity_sharded is only supported with model=mgcn")
-        cls = RGCN if cfg.model == "rgcn" else RGAT
-        return cls(cfg, n_ent, n_rel, n_edge)
+        if cfg.model == "rgat":
+            return RGAT(cfg, n_ent, n_rel, n_edge, mesh=mesh)
+        return RGCN(cfg, n_ent, n_rel, n_edge)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -139,6 +139,14 @@ class MGCN:
                     f"entity_sharded={cfg.entity_sharded!r} supports the "
                     "mult composition only (and use_pallas only with the "
                     f"gather schedule); incompatible flags: {bad}")
+        if cfg.spmm_mode == "stacked_xla" and cfg.compute_dtype == "bfloat16":
+            import logging
+            logging.warning(
+                "spmm_mode=stacked_xla with compute_dtype=bfloat16 measured "
+                "-23%% vs spmm_mode=halves at FB15k scale: the merged "
+                "backward's permutation gathers unfuse into bf16 layout "
+                "copies (BENCH_NOTES round 3). Use spmm_mode=halves with "
+                "bfloat16.")
         if (cfg.use_pallas and cfg.spmm_mode != "halves"
                 and (cfg.bwd_perm != "contrib" or cfg.ew_impl != "xla")):
             import logging

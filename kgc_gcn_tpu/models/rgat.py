@@ -87,6 +87,8 @@ def _attend_half(
     half: GraphHalf,
     n_ent: int,
     neg_slope: float = 0.2,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """One direction's attention aggregation: (N, d_out)."""
     nh, dh = layer.att_src.shape
@@ -107,6 +109,13 @@ def _attend_half(
     # padding edges (norm == 0) must not participate in the softmax
     s = jnp.where(half.norm[:, None] > 0, s, -jnp.inf)
     alpha = segment_softmax(s, half.dst, n_ent)              # (E, H)
+    if use_pallas:
+        # MXU CSR kernel for the (E, d_out) weighted aggregation and its
+        # d_h/d_rel_mult cotangents — XLA lowers these as serial scatters,
+        # ~15 ms of the 49 ms RGAT step at WN18RR scale (BENCH_NOTES r3)
+        from kgc_gcn_tpu.ops.spmm_pallas import attn_aggregate_pallas
+        return attn_aggregate_pallas(h, layer.rel_mult, alpha, half, n_ent,
+                                     interpret=interpret)
     out = jax.ops.segment_sum(zh * alpha[:, :, None], half.dst,
                               num_segments=n_ent, indices_are_sorted=True)
     return out.reshape(n_ent, nh * dh)
@@ -117,7 +126,8 @@ class RGAT(DecoderFamilyMixin):
 
     _state_cls = RGATState
 
-    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
+    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int,
+                 mesh=None):
         self.cfg = cfg
         self.n_ent = n_ent
         self.n_rel = n_rel
@@ -129,6 +139,17 @@ class RGAT(DecoderFamilyMixin):
             raise ValueError(f"num_heads={self.nh} must divide "
                              f"gcn_out_dim={cfg.gcn_out_dim}")
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
+        # the attention kernel path: single-(graph-)shard only — GSPMD would
+        # reshard a Pallas custom call's inputs to replicated (see mgcn.py)
+        self._use_pallas = bool(cfg.use_pallas)
+        if self._use_pallas and mesh is not None \
+                and mesh.shape.get("graph", 1) > 1:
+            import logging
+            logging.warning(
+                "model=rgat ignores use_pallas under graph_axis > 1 (the "
+                "attention kernel cannot ride the edge partition); running "
+                "the XLA segment-softmax path")
+            self._use_pallas = False
 
     def _layer_dims(self) -> List[Tuple[int, int]]:
         cfg = self.cfg
@@ -179,10 +200,14 @@ class RGAT(DecoderFamilyMixin):
         cfg = self.cfg
         rngs = rngs or {}
         x = params.entity_embedding
+        up = self._use_pallas
+        interp = up and jax.default_backend() != "tpu"
         for i, layer in enumerate(params.layers):
             h = x @ layer.weight                              # ONE MXU matmul
-            agg = (_attend_half(h, layer, graph.inb, self.n_ent)
-                   + _attend_half(h, layer, graph.outb, self.n_ent)
+            agg = (_attend_half(h, layer, graph.inb, self.n_ent,
+                                use_pallas=up, interpret=interp)
+                   + _attend_half(h, layer, graph.outb, self.n_ent,
+                                  use_pallas=up, interpret=interp)
                    + x @ layer.self_weight)
             x = jax.nn.relu(agg)
             x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)

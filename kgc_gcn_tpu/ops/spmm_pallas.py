@@ -682,3 +682,72 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
         (half.rperm, half.r_indptr, half.r_rel),
         (half.s_dst, half.s_norm, half.s_rel),
         n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm)
+
+
+# ------------------------------------------ attention-weighted aggregation
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _attn_agg_cvjp(h, rel_mult, alpha, src, dst, rel,
+                   indptr, sperm, s_indptr, s_src, rdata,
+                   n_ent, interpret):
+    """out[n] = sum_{e: dst_e = n} (h[src_e] * rel_mult[rel_e]) * rep(alpha_e)
+
+    The RGAT hot path (models/rgat.py): XLA lowers the (E, d_out) weighted
+    segment-sum and the backward's d_h scatter over src as serial
+    scatter-adds (~15 ms/step of the 49 ms RGAT step at WN18RR scale,
+    BENCH_NOTES round 3); this routes both through the MXU CSR kernel like
+    the MGCN path.  ``alpha`` is (E, H), broadcast over d_out/H-sized
+    chunks.  The attention weights' own gradient path (softmax over logits)
+    stays in XLA — only the final aggregation and its d_h/d_rel_mult
+    cotangents run here.
+    """
+    d = h.shape[1]
+    nh = alpha.shape[1]
+    z = h[src] * rel_mult[rel]
+    msg = (z.reshape(-1, nh, d // nh) * alpha[:, :, None]).reshape(-1, d)
+    return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
+
+
+def _attn_agg_fwd(h, rel_mult, alpha, src, dst, rel,
+                  indptr, sperm, s_indptr, s_src, rdata,
+                  n_ent, interpret):
+    out = _attn_agg_cvjp(h, rel_mult, alpha, src, dst, rel, indptr, sperm,
+                         s_indptr, s_src, rdata, n_ent, interpret)
+    return out, (h, rel_mult, alpha, src, dst, rel,
+                 sperm, s_indptr, s_src, rdata)
+
+
+def _attn_agg_bwd(n_ent, interpret, res, g):
+    h, rel_mult, alpha, src, dst, rel, sperm, s_indptr, s_src, rdata = res
+    d = h.shape[1]
+    nh = alpha.shape[1]
+    dh = d // nh
+    gd = g[dst]                                        # (E, d)
+    zg = h[src] * rel_mult[rel]                        # recomputed (cheap VPU)
+    d_alpha = (gd * zg).reshape(-1, nh, dh).sum(-1)    # (E, H)
+    d_z = (gd.reshape(-1, nh, dh) * alpha[:, :, None]).reshape(-1, d)
+    # d_h: segment-sum over SOURCE — same kernel on the src-sorted permutation
+    contrib = d_z * rel_mult[rel]
+    d_h = segment_sum_pallas(contrib[sperm], s_src, s_indptr, h.shape[0],
+                             interpret=interpret)[:, :d]
+    # d_rel_mult: few segments — one-hot MXU matmul (rel-sorted CSR kernel at
+    # FB15k-scale vocabularies), sliced to the 2R real rows
+    n_seg = rdata[1].shape[0] - 1
+    d_rel = _segment_sum_few(d_z * h[src], rel, n_seg,
+                             rdata=rdata, interpret=interpret)[
+        : rel_mult.shape[0], :d]
+    return (d_h, d_rel, d_alpha) + (None,) * 8
+
+
+_attn_agg_cvjp.defvjp(_attn_agg_fwd, _attn_agg_bwd)
+
+
+def attn_aggregate_pallas(h, rel_mult, alpha, half: GraphHalf, n_ent: int,
+                          interpret: bool = False):
+    """Pallas-backed attention-weighted aggregation for one direction half
+    (drop-in for the XLA segment-sum in models/rgat.py _attend_half)."""
+    return _attn_agg_cvjp(
+        h, rel_mult, alpha, half.src, half.dst, half.rel, half.indptr,
+        half.sperm, half.s_indptr, half.s_src,
+        (half.rperm, half.r_indptr, half.r_rel),
+        n_ent, interpret)

@@ -146,3 +146,47 @@ def test_rgat_negative_sampling_smoke(toy, toy_cfg):
         params, state, opt_state, 1, np.random.default_rng(0),
         jax.random.PRNGKey(1))
     assert np.isfinite(loss)
+
+
+def test_rgat_pallas_path_matches_xla(toy, toy_cfg):
+    """use_pallas routes the attention-weighted aggregation and its
+    d_h/d_rel_mult cotangents through the MXU CSR kernel
+    (ops/spmm_pallas.attn_aggregate_pallas, interpret mode on CPU) — full
+    train step must equal the XLA segment-sum path."""
+    ds, g, banks = toy
+    base = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                           batch_size=8)
+    results = {}
+    for up in (False, True):
+        cfg = base.replace(use_pallas=up)
+        model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                            e_pad=g.e_pad)
+        assert model._use_pallas == up
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt_state = make_optimizer(cfg).init(params)
+        trainer = Trainer(cfg, model, g, banks)
+        bank = banks["train"]
+        p, s, o, loss = trainer._train_step_jit(
+            params, state, opt_state, g, jnp.float32(1e-3),
+            jnp.asarray(bank.queries[:8]), jnp.asarray(bank.label_idx[:8]),
+            jnp.ones((8,), jnp.float32), jax.random.PRNGKey(3))
+        results[up] = (jax.tree.map(np.asarray, p), float(loss))
+    assert abs(results[False][1] - results[True][1]) < 1e-5
+    for a, b in zip(jax.tree.leaves(results[False][0]),
+                    jax.tree.leaves(results[True][0])):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_rgat_pallas_disabled_under_graph_axis(toy, toy_cfg):
+    """Under graph_axis > 1 the attention kernel cannot ride the edge
+    partition — the family must fall back to the XLA path with a warning."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from kgc_gcn_tpu.parallel.mesh import make_mesh
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          use_pallas=True, graph_axis=4)
+    mesh = make_mesh(data=2, graph=4)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad, mesh=mesh)
+    assert model._use_pallas is False
