@@ -151,6 +151,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "axis (all_gather+psum_scatter, ppermute-ring, or "
                         "the boundary-compressed overlapped exchange; "
                         "needs --graph_axis > 1)")
+    p.add_argument("--partition", default="contiguous",
+                   choices=["contiguous", "locality"],
+                   help="entity numbering: 'locality' renumbers entities "
+                        "with a BFS ordering of the train graph so the "
+                        "multi-chip entity shards cluster (shrinks the "
+                        "--entity_sharded boundary exchange); isomorphic "
+                        "relabel — results identical in distribution")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--experiments_dir", default="experiments")
     p.add_argument("--compile_cache_dir", default="",
@@ -176,7 +183,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "edge_sample_size remat "
         "compute_dtype use_pallas spmm_mode loss_impl moment_dtype prng_impl "
         "rel_compose bwd_perm eval_batch_size data_axis graph_axis "
-        "entity_sharded data_dir experiments_dir compile_cache_dir"
+        "entity_sharded partition data_dir experiments_dir compile_cache_dir"
     ).split():
         val = getattr(args, field)
         # explicit CLI values override the preset; untouched defaults do not
@@ -194,7 +201,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             saved = Config.from_json(run_record)
             shape_fields = (
                 "model decoder num_layers num_bases num_blocks num_heads "
-                "composition "
+                "composition partition "
                 "bias gcn_in_dim gcn_out_dim k_w k_h num_filter kernel_size"
             ).split()
             for field in shape_fields:
@@ -230,6 +237,12 @@ def main(argv=None) -> int:
 
     logging.info("Loading the dataset...")
     ds = load_dataset(cfg.dataset, cfg.data_dir)
+    if cfg.partition != "contiguous":
+        # renumber entities for shard locality (isomorphic relabel; must
+        # match between train and restore runs — adopted from params.json)
+        from kgc_gcn_tpu.data.partition import partition_dataset
+        ds = partition_dataset(ds, cfg.partition)
+        logging.info("Applied %s entity partition", cfg.partition)
     graph = build_graph(ds.train_triples, ds.num_entity, ds.num_relation)
     banks = make_banks(ds)
 

@@ -196,6 +196,15 @@ class Config:
                                      # exact: activations stay row-sharded
                                      # through BN and XLA inserts the
                                      # cross-shard moment reductions.
+    partition: str = "contiguous"    # contiguous | locality — entity
+                                     # numbering (data/partition.py): locality
+                                     # renumbers entities with a BFS ordering
+                                     # of the train graph so the contiguous
+                                     # entity shards cluster and the boundary
+                                     # exchange shrinks.  Isomorphic relabel
+                                     # (names keep meaning); checkpoints must
+                                     # restore under the same partition (the
+                                     # CLI adopts it from params.json).
 
     # ---- bookkeeping ----
     do_train: bool = False

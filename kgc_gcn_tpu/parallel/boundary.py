@@ -32,6 +32,13 @@ boundary sets are host-precomputed once (:func:`build_boundary_plan`):
   contiguous in dst-sorted order, a row only straddles devices at slice
   boundaries — collisions are handled by the scatter-add.
 
+Every exchange step is sized INDIVIDUALLY (the per-``t``/per-``k`` maximum
+over devices, not one global maximum): the unrolled schedule gives each step
+its own static shape, so one hot source shard (a hub-heavy partition, e.g.
+after a degree-concentrating ordering) does not inflate every other step's
+padding — measured 2.3x padded-volume difference at WN18RR scale
+(BENCH_NOTES round 3).
+
 Everything is expressed in plain differentiable JAX ops (gather, sorted
 segment-sum, ppermute, scatter-add), so training gradients flow through the
 exchange via the standard transposes (ppermute^T = inverse shift).
@@ -68,19 +75,24 @@ def _static(**kw):
 class BoundaryPlan:
     """Static per-device exchange metadata (leading axis = G, shard P(graph)).
 
-    Array fields are data leaves; the step lists and sizes are static aux
-    data, so a plan travels through jit/shard_map without retracing hazards.
+    Per-step arrays live in tuples indexed like ``t_steps``/``k_steps`` and
+    are sized per step; the step lists and sizes are static aux data, so a
+    plan travels through jit/shard_map without retracing hazards.
     """
 
-    # --- input exchange + block aggregation ---
-    blk: jax.Array        # int32 (G, G, B_e) [i, t] = local edge positions
-                          #   whose src lives in shard (i - t) % G; padded by
+    # --- local block (sources in the device's own shard) ---
+    blk0: jax.Array       # int32 (G, B0) local edge positions; padded by
                           #   repeating the last entry (keeps dst sorted)
-    blk_mask: jax.Array   # f32 (G, G, B_e) — 1 on real entries
-    loc_src: jax.Array    # int32 (G, G, B_e) — t=0: src - i*rows_per (into
-                          #   x_local); t>0: position in the received buffer
-    send_idx: jax.Array   # int32 (G, G, B_max) — [i, t]: local x rows device
-                          #   i sends at step t to device (i + t) % G
+    blk0_mask: jax.Array  # f32 (G, B0)
+    loc0: jax.Array       # int32 (G, B0) — src - i*rows_per (into x_local)
+    # --- input exchange steps (tuples over t_steps) ---
+    blk_t: tuple          # each int32 (G, B_e[t]) — edges with src in shard
+                          #   (i - t) % G
+    blk_mask_t: tuple     # each f32 (G, B_e[t])
+    loc_t: tuple          # each int32 (G, B_e[t]) — position in the received
+                          #   buffer
+    send_t: tuple         # each int32 (G, B_max[t]) — local x rows device i
+                          #   sends at step t to device (i + t) % G
                           #   (= U[(i+t)%G][i] - i*rows_per, sorted)
     dst_loc: jax.Array    # int32 (G, E_loc) — each local edge's position in
                           #   the device's unique-dst compressed row space
@@ -88,11 +100,11 @@ class BoundaryPlan:
     self_pos: jax.Array   # int32 (G, S0) — accumulator rows owned locally
     self_dst: jax.Array   # int32 (G, S0) — their local output rows
     self_mask: jax.Array  # f32 (G, S0)
-    out_send: jax.Array   # int32 (G, K, S_max) — accumulator rows sent at
-                          #   output step k_steps[j] to device (i + k) % G
-    out_mask: jax.Array   # f32 (G, K, S_max)
-    recv_pos: jax.Array   # int32 (G, K, S_max) — receiver-local output rows
-                          #   for step k_steps[j] arrivals (from (i - k) % G)
+    out_send_k: tuple     # each int32 (G, S[k]) — accumulator rows sent at
+                          #   output step k to device (i + k) % G
+    out_mask_k: tuple     # each f32 (G, S[k])
+    recv_pos_k: tuple     # each int32 (G, S[k]) — receiver-local output rows
+                          #   for step k arrivals (from (i - k) % G)
     # --- static ---
     t_steps: tuple = _static(default=())  # input steps with any traffic
     k_steps: tuple = _static(default=())  # output steps with any traffic
@@ -134,57 +146,60 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
             if t:
                 U[i][s] = np.unique(ls[pos])
 
-    b_e = max(1, max(len(blocks[i][t]) for i in range(G) for t in range(G)))
-    b_max = max([1] + [len(U[i][s]) for i in range(G) for s in range(G)])
     t_steps = tuple(
         t for t in range(1, G)
         if any(len(U[i][(i - t) % G]) for i in range(G)))
     d_max = max(1, max(len(u) for u in uniq_d))
 
-    blk = np.zeros((G, G, b_e), np.int32)
-    blk_mask = np.zeros((G, G, b_e), np.float32)
-    loc_src = np.zeros((G, G, b_e), np.int32)
-    send_idx = np.zeros((G, G, b_max), np.int32)
-    for i in range(G):
-        for t in range(G):
+    def fill_block(t, b_e):
+        blk = np.zeros((G, b_e), np.int32)
+        mask = np.zeros((G, b_e), np.float32)
+        loc = np.zeros((G, b_e), np.int32)
+        for i in range(G):
             pos = blocks[i][t]
             n = len(pos)
             if not n:
                 continue
-            blk[i, t, :n] = pos
-            blk[i, t, n:] = pos[-1]
-            blk_mask[i, t, :n] = 1.0
+            blk[i, :n] = pos
+            blk[i, n:] = pos[-1]
+            mask[i, :n] = 1.0
             ls_blk = src[i * e_loc + pos]
             if t == 0:
-                loc = ls_blk - i * rows_per
+                lo = ls_blk - i * rows_per
             else:
-                loc = np.searchsorted(U[i][(i - t) % G], ls_blk)
-            loc_src[i, t, :n] = loc
-            loc_src[i, t, n:] = loc[-1]
-        for t in t_steps:
-            r = (i + t) % G
-            u = U[r][i]
+                lo = np.searchsorted(U[i][(i - t) % G], ls_blk)
+            loc[i, :n] = lo
+            loc[i, n:] = lo[-1]
+        return jnp.asarray(blk), jnp.asarray(mask), jnp.asarray(loc)
+
+    b0 = max(1, max(len(blocks[i][0]) for i in range(G)))
+    blk0, blk0_mask, loc0 = fill_block(0, b0)
+
+    blk_t, blk_mask_t, loc_t, send_t = [], [], [], []
+    for t in t_steps:
+        b_e = max(1, max(len(blocks[i][t]) for i in range(G)))
+        b, m, lo = fill_block(t, b_e)
+        blk_t.append(b)
+        blk_mask_t.append(m)
+        loc_t.append(lo)
+        b_max = max(1, max(len(U[(i + t) % G][i]) for i in range(G)))
+        send = np.zeros((G, b_max), np.int32)
+        for i in range(G):
+            u = U[(i + t) % G][i]
             if len(u):
-                send_idx[i, t, : len(u)] = u - i * rows_per
+                send[i, : len(u)] = u - i * rows_per
+        send_t.append(jnp.asarray(send))
 
     # output routing: group each device's unique dst rows by owner offset
     koffs = [((uniq_d[i] // rows_per) - i) % G for i in range(G)]
-    k_counts = {k: 0 for k in range(1, G)}
-    s0 = 1
-    for i in range(G):
-        s0 = max(s0, int(np.sum(koffs[i] == 0)))
-        for k in range(1, G):
-            k_counts[k] = max(k_counts[k], int(np.sum(koffs[i] == k)))
+    s0 = max(1, max(int(np.sum(k == 0)) for k in koffs))
+    k_counts = {k: max(int(np.sum(koffs[i] == k)) for i in range(G))
+                for k in range(1, G)}
     k_steps = tuple(k for k in range(1, G) if k_counts[k])
-    s_max = max([1] + [k_counts[k] for k in k_steps])
 
     self_pos = np.zeros((G, s0), np.int32)
     self_dst = np.zeros((G, s0), np.int32)
     self_mask = np.zeros((G, s0), np.float32)
-    kk = max(1, len(k_steps))
-    out_send = np.zeros((G, kk, s_max), np.int32)
-    out_mask = np.zeros((G, kk, s_max), np.float32)
-    recv_pos = np.zeros((G, kk, s_max), np.int32)
     in_rows = np.zeros(G, np.int64)   # real boundary rows received per device
     out_rows = np.zeros(G, np.int64)  # real accumulator rows sent per device
     for i in range(G):
@@ -193,34 +208,45 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
         self_pos[i, : len(p)] = p
         self_dst[i, : len(p)] = u[p] - i * rows_per
         self_mask[i, : len(p)] = 1.0
-        for j, k in enumerate(k_steps):
+        in_rows[i] = sum(len(U[i][s]) for s in range(G))
+    out_send_k, out_mask_k, recv_pos_k = [], [], []
+    for k in k_steps:
+        s_max = k_counts[k]
+        o_send = np.zeros((G, s_max), np.int32)
+        o_mask = np.zeros((G, s_max), np.float32)
+        r_pos = np.zeros((G, s_max), np.int32)
+        for i in range(G):
+            u, koff = uniq_d[i], koffs[i]
             p = np.nonzero(koff == k)[0].astype(np.int32)
             if not len(p):
                 continue
-            out_send[i, j, : len(p)] = p
-            out_mask[i, j, : len(p)] = 1.0
+            o_send[i, : len(p)] = p
+            o_mask[i, : len(p)] = 1.0
             r = (i + k) % G
-            recv_pos[r, j, : len(p)] = u[p] - r * rows_per
+            r_pos[r, : len(p)] = u[p] - r * rows_per
             out_rows[i] += len(p)
-        in_rows[i] = sum(len(U[i][s]) for s in range(G))
+        out_send_k.append(jnp.asarray(o_send))
+        out_mask_k.append(jnp.asarray(o_mask))
+        recv_pos_k.append(jnp.asarray(r_pos))
 
     plan = BoundaryPlan(
-        blk=jnp.asarray(blk), blk_mask=jnp.asarray(blk_mask),
-        loc_src=jnp.asarray(loc_src), send_idx=jnp.asarray(send_idx),
+        blk0=blk0, blk0_mask=blk0_mask, loc0=loc0,
+        blk_t=tuple(blk_t), blk_mask_t=tuple(blk_mask_t),
+        loc_t=tuple(loc_t), send_t=tuple(send_t),
         dst_loc=jnp.asarray(np.stack(inv_d)),
         self_pos=jnp.asarray(self_pos), self_dst=jnp.asarray(self_dst),
         self_mask=jnp.asarray(self_mask),
-        out_send=jnp.asarray(out_send), out_mask=jnp.asarray(out_mask),
-        recv_pos=jnp.asarray(recv_pos),
+        out_send_k=tuple(out_send_k), out_mask_k=tuple(out_mask_k),
+        recv_pos_k=tuple(recv_pos_k),
         t_steps=t_steps, k_steps=k_steps, d_max=d_max, rows_per=rows_per)
     stats = {
         "n_pad": n_pad,
         "rows_per": rows_per,
         # what one device actually ships per layer for this half
         "in_rows_real_max": int(in_rows.max()),
-        "in_rows_padded": len(t_steps) * b_max,
+        "in_rows_padded": int(sum(s.shape[1] for s in send_t)),
         "out_rows_real_max": int(out_rows.max()),
-        "out_rows_padded": len(k_steps) * s_max,
+        "out_rows_padded": int(sum(s.shape[1] for s in out_send_k)),
         # what the gather schedule ships: all_gather receives (G-1)/G * n_pad
         # rows and psum_scatter another (G-1)/G * n_pad per device
         "gather_rows": 2 * (G - 1) * n_pad // G,
@@ -249,33 +275,32 @@ def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(row, rep, edge, edge, edge, edge, edge, row),
+        in_specs=(row, rep, edge, edge, edge, row),
         out_specs=row,
     )
-    def _agg(x_local, rel_all, etab, src, dst, rel, norm, pl: BoundaryPlan):
-        del src, dst   # folded into the static plan (blocks + dst_loc)
-        blk, blk_mask = pl.blk[0], pl.blk_mask[0]
-        loc_src, send_idx, dst_loc = pl.loc_src[0], pl.send_idx[0], pl.dst_loc[0]
+    def _agg(x_local, rel_all, etab, rel, norm, pl: BoundaryPlan):
         d = x_local.shape[1]
 
         # issue EVERY boundary-row transfer first: each depends only on
         # x_local, so the transfers ride ICI while the blocks aggregate
-        bufs = {}
-        for t in t_steps:
+        bufs = []
+        for j, t in enumerate(t_steps):
             perm = [(q, (q + t) % g_size) for q in range(g_size)]
-            bufs[t] = jax.lax.ppermute(
-                x_local[send_idx[t]], GRAPH_AXIS, perm)
+            bufs.append(jax.lax.ppermute(
+                x_local[pl.send_t[j][0]], GRAPH_AXIS, perm))
 
-        def block(t, xbuf):
-            e = blk[t]
-            msg = (xbuf[loc_src[t]] * rel_all[rel[e]] * etab[e]
-                   * (norm[e] * blk_mask[t])[:, None])
+        def block(blk, blk_mask, loc, xbuf):
+            e = blk[0]
+            msg = (xbuf[loc[0]] * rel_all[rel[e]] * etab[e]
+                   * (norm[e] * blk_mask[0])[:, None])
             return jax.ops.segment_sum(
-                msg, dst_loc[e], num_segments=d_max, indices_are_sorted=True)
+                msg, pl.dst_loc[0][e], num_segments=d_max,
+                indices_are_sorted=True)
 
-        acc = block(0, x_local)
-        for t in t_steps:
-            acc = acc + block(t, bufs[t])
+        acc = block(pl.blk0, pl.blk0_mask, pl.loc0, x_local)
+        for j in range(len(t_steps)):
+            acc = acc + block(pl.blk_t[j], pl.blk_mask_t[j], pl.loc_t[j],
+                              bufs[j])
 
         # route the compressed accumulator rows to their owner shards
         out = jax.lax.pcast(jnp.zeros((rows_per, d), acc.dtype),
@@ -284,14 +309,14 @@ def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
             acc[pl.self_pos[0]] * pl.self_mask[0][:, None])
         for j, k in enumerate(k_steps):
             perm = [(q, (q + k) % g_size) for q in range(g_size)]
-            sendbuf = acc[pl.out_send[0, j]] * pl.out_mask[0, j][:, None]
-            out = out.at[pl.recv_pos[0, j]].add(
+            sendbuf = acc[pl.out_send_k[j][0]] * pl.out_mask_k[j][0][:, None]
+            out = out.at[pl.recv_pos_k[j][0]].add(
                 jax.lax.ppermute(sendbuf, GRAPH_AXIS, perm))
         return out
 
     def agg(x_sharded, rel_all, etab, half: GraphHalf, plan_dev=None):
-        return _agg(x_sharded, rel_all, etab, half.src, half.dst, half.rel,
-                    half.norm, plan_dev if plan_dev is not None else plan)
+        return _agg(x_sharded, rel_all, etab, half.rel, half.norm,
+                    plan_dev if plan_dev is not None else plan)
 
     agg.n_pad = n_pad
     return agg

@@ -102,6 +102,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
         lib.gc_group_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "gc_locality_order"):   # postdates the grouper (round 3)
+        lib.gc_locality_order.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     _LIB = lib
     return _LIB
 
@@ -152,6 +158,21 @@ def build_half_native(src: np.ndarray, dst: np.ndarray, n_ent: int
                       np.ascontiguousarray(dst, np.int32),
                       e, n_ent, perm, indptr, norm)
     return perm, indptr, norm
+
+
+def locality_order_native(src: np.ndarray, dst: np.ndarray, n_ent: int
+                          ) -> Optional[np.ndarray]:
+    """Label-propagation community ordering of the undirected edge list, or
+    None if unavailable.  Equality vs the numpy twin is pinned in
+    tests/test_partition.py."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gc_locality_order"):
+        return None
+    order = np.empty(n_ent, np.int32)
+    lib.gc_locality_order(np.ascontiguousarray(src, np.int32),
+                          np.ascontiguousarray(dst, np.int32),
+                          len(src), n_ent, order)
+    return order
 
 
 def group_sr2o_native(triples: np.ndarray, num_relation: int

@@ -368,3 +368,79 @@ void gc_group_copy(void* h, int64_t* keys_out, int32_t* values_out,
 void gc_group_free(void* h) { delete static_cast<GroupResult*>(h); }
 
 }  // extern "C"
+
+// ---- locality ordering --------------------------------------------------
+// Deterministic label propagation (LPA) over the UNDIRECTED train graph,
+// communities emitted contiguously (largest first).  Contiguous ranges of
+// the resulting order become the entity shards of the multi-chip schedules
+// (kgc_gcn_tpu/parallel/boundary.py), so cross-shard edges — and with them
+// the boundary exchange volume — shrink by the graph's community structure.
+// LPA (not BFS/Cuthill-McKee): BFS cannot recover clusters through noise —
+// a 10% cross-edge fraction pulls foreign vertices into the frontier and
+// interleaves communities (measured, BENCH_NOTES round 3); majority-label
+// propagation is robust to it.  The sweep is sequential in id order with a
+// smallest-label tie-break, so the result is deterministic and equal to the
+// numpy twin (kgc_gcn_tpu/data/partition.py, pinned in tests).
+
+extern "C" {
+
+void gc_locality_order(const int32_t* src, const int32_t* dst, int64_t e,
+                       int32_t n_ent, int32_t* order_out) {
+    // undirected CSR adjacency
+    std::vector<int64_t> indptr(static_cast<size_t>(n_ent) + 1, 0);
+    for (int64_t i = 0; i < e; ++i) {
+        indptr[src[i] + 1]++;
+        indptr[dst[i] + 1]++;
+    }
+    std::partial_sum(indptr.begin(), indptr.end(), indptr.begin());
+    std::vector<int32_t> adj(static_cast<size_t>(2 * e));
+    {
+        std::vector<int64_t> cur(indptr.begin(), indptr.end() - 1);
+        for (int64_t i = 0; i < e; ++i) {
+            adj[cur[src[i]]++] = dst[i];
+            adj[cur[dst[i]]++] = src[i];
+        }
+    }
+
+    // asynchronous LPA, sequential id-order sweeps, <= 10 iterations
+    std::vector<int32_t> label(n_ent);
+    std::iota(label.begin(), label.end(), 0);
+    std::vector<int32_t> nbuf;
+    for (int iter = 0; iter < 10; ++iter) {
+        bool changed = false;
+        for (int32_t v = 0; v < n_ent; ++v) {
+            const int64_t lo = indptr[v], hi = indptr[v + 1];
+            if (hi == lo) continue;
+            nbuf.clear();
+            for (int64_t j = lo; j < hi; ++j) nbuf.push_back(label[adj[j]]);
+            std::sort(nbuf.begin(), nbuf.end());
+            // most frequent neighbor label; ties -> smallest label
+            int32_t best = nbuf[0];
+            int64_t bc = 1, cc = 1;
+            for (size_t j = 1; j < nbuf.size(); ++j) {
+                if (nbuf[j] == nbuf[j - 1]) {
+                    if (++cc > bc) { bc = cc; best = nbuf[j]; }
+                } else {
+                    cc = 1;
+                }
+            }
+            if (best != label[v]) { label[v] = best; changed = true; }
+        }
+        if (!changed) break;
+    }
+
+    // order: communities by (size desc, label asc), vertices by id asc
+    std::vector<int64_t> csize(n_ent, 0);
+    for (int32_t v = 0; v < n_ent; ++v) csize[label[v]]++;
+    std::iota(order_out, order_out + n_ent, 0);
+    std::stable_sort(order_out, order_out + n_ent,
+                     [&](int32_t a, int32_t b) {
+                         const int64_t sa = csize[label[a]],
+                                       sb = csize[label[b]];
+                         if (sa != sb) return sa > sb;
+                         if (label[a] != label[b]) return label[a] < label[b];
+                         return a < b;
+                     });
+}
+
+}  // extern "C"
