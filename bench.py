@@ -175,9 +175,13 @@ def _run(mode: str):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
+    # every mode PINS its dtypes/path explicitly — bench-mode names must mean
+    # the same config forever, independent of preset evolution (the FB15k-237
+    # preset defaults to the bf16 profile since round 3)
     cfg = dataset_preset(
         "FB15k-237" if mode.startswith("fb15k") else "WN18RR",
-        batch_size=batch)
+        batch_size=batch, use_pallas=False,
+        compute_dtype="float32", moment_dtype="float32")
     if mode == "reference":
         cfg = cfg.replace(agg_schedule="reference")
     elif mode in ("pallas", "fb15k", "eval"):

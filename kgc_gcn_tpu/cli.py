@@ -119,7 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_impl", default="auto",
                    choices=["auto", "dense", "sparse", "fused"],
                    help="one-vs-all BCE implementation (ops/fused_loss.py)")
-    p.add_argument("--moment_dtype", default="float32",
+    # None default = "not specified": presets may set these (FB15k-237
+    # defaults to the bf16 profile), and an explicit flag must be able to
+    # override the preset in BOTH directions — a concrete parser default
+    # would make `--compute_dtype float32` indistinguishable from absent
+    p.add_argument("--moment_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="Adam moment storage dtype (train/optim.py)")
     p.add_argument("--prng_impl", default="rbg",
@@ -133,9 +137,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rel_compose", default="gather",
                    choices=["gather", "onehot"],
                    help="relation-row materialization in the pallas path")
-    p.add_argument("--compute_dtype", default="float32",
+    p.add_argument("--compute_dtype", default=None,
                    choices=["float32", "bfloat16"])
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--use_pallas", dest="use_pallas", action="store_const",
+                   const=True, default=None)
+    p.add_argument("--no_use_pallas", dest="use_pallas",
+                   action="store_const", const=False,
+                   help="force the plain-XLA aggregation path (overrides "
+                        "presets that default to the kernels)")
     p.add_argument("--spmm_mode", default="halves",
                    choices=["halves", "stacked", "stacked_xla"])
     p.add_argument("--remat", action="store_true",

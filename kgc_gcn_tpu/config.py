@@ -244,8 +244,17 @@ class Config:
 _PRESETS = {
     "WN18RR": dict(learning_rate=0.002, max_epoch=500, eval_every=2,
                    gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3),
+    # FB15k-237 defaults to the fastest measured profile (fb15k_best,
+    # 31.7 Medges/s: Pallas kernels + bf16 matmul operands/messages with f32
+    # accumulation + bf16 Adam-moment storage; generalization-gated in
+    # tests/test_generalization.py).  bf16 compute is SCALE-DEPENDENT: +19%
+    # at FB15k shape but -10% at WN18RR shape (BENCH_NOTES), so WN18RR stays
+    # f32.  Override back with --no_use_pallas / --compute_dtype float32 /
+    # --moment_dtype float32.
     "FB15k-237": dict(learning_rate=0.003, max_epoch=400, eval_every=2,
-                      gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3),
+                      gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3,
+                      use_pallas=True, compute_dtype="bfloat16",
+                      moment_dtype="bfloat16"),
     "Toy": dict(seed=2020, batch_size=2, max_epoch=500, min_epoch=500,
                 eval_every=1, patience=0.01, patience_num=10),
 }

@@ -52,8 +52,11 @@ def main(mode="pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
+    # pin the dtypes: trace-mode names must mean the same config regardless
+    # of preset evolution (FB15k-237 defaults to bf16 since round 3)
     cfg = dataset_preset("FB15k-237" if mode.startswith("fb15k") else "WN18RR",
-                         batch_size=batch)
+                         batch_size=batch, use_pallas=False,
+                         compute_dtype="float32", moment_dtype="float32")
     if mode in ("pallas", "fb15k"):
         cfg = cfg.replace(use_pallas=True)
     elif mode in ("stacked_xla", "fb15k_sx"):

@@ -152,3 +152,25 @@ def test_summarize_metrics(tmp_path):
     assert rows[0]["epochs"] == 2 and rows[1]["epochs"] == 1
     assert rows[1]["best_val_mrr"] is None
     assert rows[0]["steps_per_s_median"] == 10
+
+
+def test_fb15k_preset_defaults_to_bf16_profile():
+    """--dataset FB15k-237 --do_train hits the measured-fastest config
+    (fb15k_best: pallas + bf16 compute + bf16 moments) out of the box, and
+    explicit flags can override it back in BOTH directions."""
+    cfg = dataset_preset("FB15k-237")
+    assert cfg.use_pallas and cfg.compute_dtype == "bfloat16" \
+        and cfg.moment_dtype == "bfloat16"
+    # WN18RR unchanged (bf16 is -10% at that shape, BENCH_NOTES)
+    wn = dataset_preset("WN18RR")
+    assert not wn.use_pallas and wn.compute_dtype == "float32"
+
+    from kgc_gcn_tpu.cli import build_parser, config_from_args
+    back = config_from_args(build_parser().parse_args(
+        ["--dataset", "FB15k-237", "--no_use_pallas",
+         "--compute_dtype", "float32", "--moment_dtype", "float32"]))
+    assert not back.use_pallas and back.compute_dtype == "float32" \
+        and back.moment_dtype == "float32"
+    kept = config_from_args(build_parser().parse_args(
+        ["--dataset", "FB15k-237"]))
+    assert kept.use_pallas and kept.compute_dtype == "bfloat16"
