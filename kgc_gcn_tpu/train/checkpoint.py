@@ -60,8 +60,12 @@ def save_checkpoint(ckpt_dir: str, tree: Any, measure: float,
         # force=True delegates overwrite + atomic tmp-then-finalize-rename to
         # orbax, which coordinates across processes (a hand-rolled rmtree/
         # os.replace here would race N hosts on a shared filesystem)
+        # the measure rides as a plain numpy scalar: a host-local
+        # jax.Array is not serializable in a multi-host setting (orbax
+        # requires global arrays or host values; caught by
+        # tests/test_multiprocess.py)
         ckptr.save(path, {"tree": tree,
-                          _MEASURE_KEY: jax.numpy.asarray(measure)},
+                          _MEASURE_KEY: np.asarray(measure, np.float32)},
                    force=True)
         ckptr.wait_until_finished()
         return path
@@ -104,7 +108,7 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, float]:
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(
             os.path.abspath(path),
-            {"tree": template, _MEASURE_KEY: jax.numpy.asarray(0.0)})
+            {"tree": template, _MEASURE_KEY: np.asarray(0.0, np.float32)})
         return restored["tree"], float(restored[_MEASURE_KEY])
     if not os.path.exists(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
@@ -189,7 +193,8 @@ def save_checkpoint_async(ckpt_dir: str, tree: Any, measure: float) -> str:
     if jax.process_index() == 0:            # shared-FS cleanup: one actor
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
-    ckptr.save(tmp, {"tree": tree, _MEASURE_KEY: jax.numpy.asarray(measure)})
+    ckptr.save(tmp, {"tree": tree,
+                     _MEASURE_KEY: np.asarray(measure, np.float32)})
     _PENDING = (tmp, path)
     return path
 

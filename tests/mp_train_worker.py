@@ -71,6 +71,47 @@ def run_step(cfg, ds, g, banks, batch, mesh=None):
     return float(loss)
 
 
+def run_epoch_surfaces(cfg, ds, g, banks, mesh, ckpt_dir):
+    """The PRODUCTION multi-process surfaces (not just the raw step): one
+    full scan-epoch (train_epoch's lax.scan over the sharded batch plan),
+    one filtered-rank evaluate, and a checkpoint save + restore + re-eval
+    round-trip (sharded-across-processes leaves route to the orbax backend,
+    train/checkpoint.py).  Returns (mean epoch loss, mrr, restored mrr)."""
+    import jax
+    import numpy as np
+
+    from kgc_gcn_tpu.models import build_model
+    from kgc_gcn_tpu.parallel.mesh import shard_graph, shard_params
+    from kgc_gcn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from kgc_gcn_tpu.train.loop import Trainer
+    from kgc_gcn_tpu.train.optim import make_optimizer
+
+    if mesh is not None:
+        g = shard_graph(g, mesh)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad, mesh=mesh)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        state = shard_params(state, mesh)
+        opt_state = shard_params(opt_state, mesh)
+    trainer = Trainer(cfg, model, g, banks, mesh=mesh)
+    params, state, opt_state, loss = trainer.train_epoch(
+        params, state, opt_state, 1, np.random.default_rng(7),
+        jax.random.PRNGKey(5))
+    mrr = trainer.evaluate(params, state, "valid")["mrr"]
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, {"params": params, "state": state}, mrr)
+        tree, best = load_checkpoint(
+            ckpt_dir, {"params": params, "state": state})
+        assert abs(best - mrr) < 1e-6, (best, mrr)   # measure stored as f32
+        mrr2 = trainer.evaluate(tree["params"], tree["state"], "valid")["mrr"]
+    else:
+        mrr2 = mrr
+    return float(loss), float(mrr), float(mrr2)
+
+
 def main() -> None:
     import jax
 
@@ -88,6 +129,15 @@ def main() -> None:
     with mesh:
         loss = run_step(cfg, ds, g, banks, batch, mesh=mesh)
     print(f"LOSS {loss:.8f}", flush=True)
+
+    # production surfaces on a (2 data x 2 graph) mesh spanning the processes
+    ckpt_dir = os.environ.get("KGC_MP_CKPT_DIR", "")
+    cfg2 = cfg.replace(data_axis=2, graph_axis=jax.device_count() // 2)
+    mesh2 = make_mesh(cfg2.data_axis, cfg2.graph_axis)
+    with mesh2:
+        eloss, mrr, mrr2 = run_epoch_surfaces(
+            cfg2, ds, g, banks, mesh2, ckpt_dir)
+    print(f"EPOCH {eloss:.8f} {mrr:.8f} {mrr2:.8f}", flush=True)
 
 
 if __name__ == "__main__":
