@@ -148,8 +148,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spmm_mode", default="halves",
                    choices=["halves", "stacked", "stacked_xla"])
     p.add_argument("--remat", action="store_true",
-                   help="rematerialize the encoder in the backward "
-                        "(memory for recompute; see config.py)")
+                   help="rematerialize the encoder in the backward. "
+                        "MEASURED NEGATIVE at the reference 1-layer config: "
+                        "-22%% steps/s AND higher peak HBM at every scale "
+                        "(XLA memory analysis, scripts/remat_probe.py — the "
+                        "backward's per-edge workspace dominates either "
+                        "way). To fit bigger graphs on a 16 GB v5e (plain "
+                        "path OOMs near N~1M, E~2M at reference dims) use "
+                        "--entity_sharded / --graph_axis (shards activations "
+                        "AND tables) or --moment_dtype bfloat16 instead; "
+                        "remat may still pay at num_layers >= 2")
     p.add_argument("--no_scan_epoch", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--data_axis", default=1, type=int)

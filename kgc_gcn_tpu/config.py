@@ -170,9 +170,16 @@ class Config:
     remat: bool = False              # jax.checkpoint the full-graph encoder:
                                      # recompute its (N, d)/(E, d)
                                      # intermediates in the backward instead
-                                     # of storing them — FLOPs for HBM, for
-                                     # graphs whose activations crowd out
-                                     # the optimizer state (train/loop.py)
+                                     # of storing them.  MEASURED NEGATIVE
+                                     # at the reference 1-layer config:
+                                     # -22% steps/s AND higher peak HBM at
+                                     # every scale (the backward's per-edge
+                                     # workspace dominates either way;
+                                     # scripts/remat_probe.py + BENCH_NOTES
+                                     # round 3).  Prefer entity_sharded /
+                                     # graph_axis or moment_dtype=bfloat16
+                                     # to fit bigger graphs; may still pay
+                                     # at num_layers >= 2
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding
