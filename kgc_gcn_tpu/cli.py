@@ -157,7 +157,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "path OOMs near N~1M, E~2M at reference dims) use "
                         "--entity_sharded / --graph_axis (shards activations "
                         "AND tables) or --moment_dtype bfloat16 instead; "
-                        "remat may still pay at num_layers >= 2")
+                        "at num_layers=2 it saved ~1%% peak (still net-negative)")
     p.add_argument("--no_scan_epoch", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--data_axis", default=1, type=int)

@@ -178,8 +178,9 @@ class Config:
                                      # scripts/remat_probe.py + BENCH_NOTES
                                      # round 3).  Prefer entity_sharded /
                                      # graph_axis or moment_dtype=bfloat16
-                                     # to fit bigger graphs; may still pay
-                                     # at num_layers >= 2
+                                     # to fit bigger graphs (at
+                                     # num_layers=2 remat saved ~1% peak -
+                                     # still net-negative)
     scan_epoch: bool = True          # run the whole epoch as one lax.scan
     eval_batch_size: int = 0         # 0: use batch_size
     data_axis: int = 1               # mesh: batch sharding
@@ -249,8 +250,12 @@ class Config:
 # experiments/Toy/params.json — stale files, but they record the tuned values;
 # see SURVEY.md §2.4.1).
 _PRESETS = {
+    # WN18RR defaults to the fastest measured FULL-PRECISION profile
+    # (pallas kernels, f32 — 27.6 Medges/s; bf16 compute is -10% at this
+    # shape, BENCH_NOTES).  Override with --no_use_pallas.
     "WN18RR": dict(learning_rate=0.002, max_epoch=500, eval_every=2,
-                   gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3),
+                   gcn_drop=0.2, feat_drop=0.2, hidden_drop=0.3,
+                   use_pallas=True),
     # FB15k-237 defaults to the fastest measured profile (fb15k_best,
     # 31.7 Medges/s: Pallas kernels + bf16 matmul operands/messages with f32
     # accumulation + bf16 Adam-moment storage; generalization-gated in

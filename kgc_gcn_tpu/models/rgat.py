@@ -68,14 +68,32 @@ def segment_softmax(
     logits: jax.Array,     # (E, H) — -inf on masked (padding) edges
     seg: jax.Array,        # (E,) destination ids, non-decreasing
     n_seg: int,
+    indptr: jax.Array = None,   # CSR pointers of seg — enables the kernel path
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Numerically-stable per-segment softmax; masked edges get weight 0 and
-    empty segments produce zeros (not NaN)."""
-    smax = jax.ops.segment_max(logits, seg, num_segments=n_seg,
-                               indices_are_sorted=True)      # (S, H)
+    empty segments produce zeros (not NaN).
+
+    The max subtraction is shift-invariant, so its gradient is exactly zero
+    — ``stop_gradient`` removes the backward scatter XLA would otherwise
+    emit for it.  With ``use_pallas`` the denominator segment-sum and the
+    per-edge gathers' backward scatters run through the MXU CSR kernel
+    (ops/spmm_pallas.py round-3 wrappers) instead of XLA's serial scatters.
+    """
+    smax = jax.lax.stop_gradient(
+        jax.ops.segment_max(logits, seg, num_segments=n_seg,
+                            indices_are_sorted=True))        # (S, H)
     smax_e = jnp.where(jnp.isfinite(smax), smax, 0.0)[seg]   # (E, H)
     expd = jnp.where(jnp.isfinite(logits),
                      jnp.exp(logits - smax_e), 0.0)
+    if use_pallas and indptr is not None:
+        from kgc_gcn_tpu.ops.spmm_pallas import (
+            gather_rows_sorted, segment_sum_sorted)
+        denom = segment_sum_sorted(expd, seg, indptr, n_seg, interpret)
+        denom_e = gather_rows_sorted(jnp.maximum(denom, 1e-9), seg, indptr,
+                                     n_seg, interpret)
+        return expd / denom_e
     denom = jax.ops.segment_sum(expd, seg, num_segments=n_seg,
                                 indices_are_sorted=True)     # (S, H)
     return expd / jnp.maximum(denom[seg], 1e-9)
@@ -101,14 +119,27 @@ def _attend_half(
     score_dst = jnp.einsum("nhd,hd->nh", h.reshape(n_ent, nh, dh),
                            layer.att_dst,
                            preferred_element_type=jnp.float32)   # (N, H)
+    if use_pallas:
+        # per-edge gathers whose BACKWARD scatters route through the MXU
+        # CSR kernel / one-hot matmul instead of XLA's serial scatter-add
+        from kgc_gcn_tpu.ops.spmm_pallas import (
+            gather_rows_few, gather_rows_sorted)
+        sd_e = gather_rows_sorted(score_dst, half.dst, half.indptr, n_ent,
+                                  interpret)
+        rb_e = gather_rows_few(
+            layer.rel_bias, half.rel, int(half.r_indptr.shape[0]) - 1,
+            (half.rperm, half.r_indptr, half.r_rel), interpret)
+    else:
+        sd_e = score_dst[half.dst]
+        rb_e = layer.rel_bias[half.rel]
     s = (jnp.einsum("ehd,hd->eh", zh, layer.att_src,
                     preferred_element_type=jnp.float32)
-         + score_dst[half.dst]
-         + layer.rel_bias[half.rel])                         # (E, H)
+         + sd_e + rb_e)                                      # (E, H)
     s = jax.nn.leaky_relu(s, neg_slope)
     # padding edges (norm == 0) must not participate in the softmax
     s = jnp.where(half.norm[:, None] > 0, s, -jnp.inf)
-    alpha = segment_softmax(s, half.dst, n_ent)              # (E, H)
+    alpha = segment_softmax(s, half.dst, n_ent, indptr=half.indptr,
+                            use_pallas=use_pallas, interpret=interpret)
     if use_pallas:
         # MXU CSR kernel for the (E, d_out) weighted aggregation and its
         # d_h/d_rel_mult cotangents — XLA lowers these as serial scatters,

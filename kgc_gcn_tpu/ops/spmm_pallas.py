@@ -751,3 +751,81 @@ def attn_aggregate_pallas(h, rel_mult, alpha, half: GraphHalf, n_ent: int,
         half.sperm, half.s_indptr, half.s_src,
         (half.rperm, half.r_indptr, half.r_rel),
         n_ent, interpret)
+
+
+# ------------------------------- generic sorted segment-sum / gather wrappers
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def segment_sum_sorted(vals, seg, indptr, n_rows, interpret=False):
+    """Differentiable sorted segment-sum through the CSR kernel for NARROW
+    value widths (e.g. the RGAT (E, H) attention columns): pads the feature
+    dim to one lane tile and runs the MXU kernel; the VJP is a plain gather
+    (``g[seg]``).  XLA lowers the same op as a serial scatter-add (~1.2 ms
+    per half at WN18RR scale vs ~0.6 ms here, BENCH_NOTES round 3)."""
+    d = vals.shape[1]
+    return segment_sum_pallas(_pad_cols(vals), seg, indptr, n_rows,
+                              interpret=interpret)[:, :d]
+
+
+def _sss_fwd(vals, seg, indptr, n_rows, interpret):
+    out = segment_sum_sorted(vals, seg, indptr, n_rows, interpret)
+    return out, seg
+
+
+def _sss_bwd(n_rows, interpret, seg, g):
+    return g[seg], None, None
+
+
+segment_sum_sorted.defvjp(_sss_fwd, _sss_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_rows_sorted(table, idx, indptr, n_rows, interpret=False):
+    """``table[idx]`` whose BACKWARD is the sorted CSR kernel instead of
+    XLA's serial scatter-add (``idx`` non-decreasing with ``indptr`` its
+    row pointers — e.g. a per-dst gather over a dst-sorted half)."""
+    del indptr
+    return table[idx]
+
+
+def _grs_fwd(table, idx, indptr, n_rows, interpret):
+    return table[idx], (idx, indptr)
+
+
+def _grs_bwd(n_rows, interpret, res, g):
+    idx, indptr = res
+    d = g.shape[1]
+    d_tab = segment_sum_pallas(_pad_cols(g), idx, indptr, n_rows,
+                               interpret=interpret)[:, :d]
+    return d_tab, None, None
+
+
+gather_rows_sorted.defvjp(_grs_fwd, _grs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def gather_rows_few(table, idx, n_rows, rdata, interpret=False):
+    """``table[idx]`` for a SMALL table (e.g. per-relation attention bias)
+    whose backward runs the one-hot MXU matmul / rel-sorted kernel
+    (``_segment_sum_few``) instead of XLA's scatter-add.  ``rdata`` is the
+    half's (rperm, r_indptr, r_rel) trio (array-valued, so it rides as a
+    regular argument with a None cotangent — nondiff_argnums cannot hold
+    tracers)."""
+    del rdata
+    return table[idx]
+
+
+def _grf_fwd(table, idx, n_rows, rdata, interpret):
+    return table[idx], (idx, rdata, table.shape[0])
+
+
+def _grf_bwd(n_rows, interpret, res, g):
+    idx, rdata, t_rows = res
+    # n_rows is the segment-id space (e.g. 2R+1 incl. the loop relation);
+    # the table itself may hold fewer rows (2R) — slice back
+    d_tab = _segment_sum_few(g, idx, n_rows, rdata=rdata,
+                             interpret=interpret)[:t_rows]
+    return d_tab, None, None
+
+
+gather_rows_few.defvjp(_grf_fwd, _grf_bwd)

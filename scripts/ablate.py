@@ -63,9 +63,9 @@ def main(mode="pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    cfg = dataset_preset("WN18RR", batch_size=batch)
-    if mode == "pallas":
-        cfg = cfg.replace(use_pallas=True)
+    # pin the path per mode (the WN18RR preset defaults the kernels ON)
+    cfg = dataset_preset("WN18RR", batch_size=batch,
+                         use_pallas=(mode == "pallas"))
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)

@@ -104,8 +104,13 @@ def main():
     # small model dims keep the replicated (non-partitioned) work minor, so
     # the measurement isolates the edge-partitioned aggregation that the
     # graph axis is meant to scale
+    # use_pallas pinned OFF: on the virtual-CPU substrate the per-shard
+    # kernels run in interpret mode, whose overhead would distort the
+    # scaling ratio this harness isolates (the WN18RR preset defaults the
+    # kernels ON since round 3)
     cfg = dataset_preset("WN18RR", batch_size=batch, gcn_in_dim=64,
-                         gcn_out_dim=128, k_w=8, k_h=16, num_filter=16)
+                         gcn_out_dim=128, k_w=8, k_h=16, num_filter=16,
+                         use_pallas=False)
 
     axes = [a for a in (1, 2, 4, 8, 16, 32) if a <= n_dev
             and graph.e_pad % a == 0]

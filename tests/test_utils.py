@@ -161,9 +161,9 @@ def test_fb15k_preset_defaults_to_bf16_profile():
     cfg = dataset_preset("FB15k-237")
     assert cfg.use_pallas and cfg.compute_dtype == "bfloat16" \
         and cfg.moment_dtype == "bfloat16"
-    # WN18RR unchanged (bf16 is -10% at that shape, BENCH_NOTES)
+    # WN18RR: kernels on, but FULL precision (bf16 is -10% at that shape)
     wn = dataset_preset("WN18RR")
-    assert not wn.use_pallas and wn.compute_dtype == "float32"
+    assert wn.use_pallas and wn.compute_dtype == "float32"
 
     from kgc_gcn_tpu.cli import build_parser, config_from_args
     back = config_from_args(build_parser().parse_args(
