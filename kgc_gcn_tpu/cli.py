@@ -309,6 +309,12 @@ def main(argv=None) -> int:
         params = init_embeddings_from_npz(params, args.init_embeddings)
         logging.info("Initialized embedding tables from %s",
                      args.init_embeddings)
+        if cfg.partition != "contiguous":
+            logging.warning(
+                "--init_embeddings rows are keyed by entity id and "
+                "--partition %s RENUMBERS entities: the table must already "
+                "be in the partitioned numbering (export it from a run with "
+                "the same partition)", cfg.partition)
 
     best = 0.0
     if cfg.restore_torch is not None:

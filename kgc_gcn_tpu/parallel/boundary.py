@@ -37,7 +37,12 @@ over devices, not one global maximum): the unrolled schedule gives each step
 its own static shape, so one hot source shard (a hub-heavy partition, e.g.
 after a degree-concentrating ordering) does not inflate every other step's
 padding — measured 2.3x padded-volume difference at WN18RR scale
-(BENCH_NOTES round 3).
+(BENCH_NOTES round 3).  This is also why the exchange is a pipeline of
+shift-``t`` ppermutes rather than one literal ``jax.lax.all_to_all``: the
+all-to-all primitive needs one uniform split size across every (sender,
+receiver) pair — exactly the global-max padding the per-step sizing avoids
+— while the decomposed form moves the same pairs with per-step shapes and
+lets XLA overlap each transfer independently.
 
 Everything is expressed in plain differentiable JAX ops (gather, sorted
 segment-sum, ppermute, scatter-add), so training gradients flow through the

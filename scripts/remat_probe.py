@@ -46,10 +46,11 @@ def probe(scale: int):
 
     out = {}
     layers = int(os.environ.get("KGC_PROBE_LAYERS", "1"))
+    moment = os.environ.get("KGC_PROBE_MOMENT", "float32")
     for remat in (False, True):
         cfg = dataset_preset("WN18RR", batch_size=batch, use_pallas=True,
                              remat=remat, compute_dtype="float32",
-                             moment_dtype="float32", num_layers=layers)
+                             moment_dtype=moment, num_layers=layers)
         model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
         params, state = model.init(jax.random.PRNGKey(0))
         opt_state = make_optimizer(cfg).init(params)
@@ -61,7 +62,12 @@ def probe(scale: int):
             jnp.asarray(bank.queries[:batch]),
             jnp.asarray(bank.label_idx[:batch]),
             jnp.ones((batch,), jnp.float32), jax.random.PRNGKey(0))
-        ma = lowered.compile().memory_analysis()
+        try:
+            ma = lowered.compile().memory_analysis()
+        except Exception as e:   # typically RESOURCE_EXHAUSTED at compile
+            out["remat" if remat else "plain"] = {
+                "error": str(e).splitlines()[0][:200]}
+            continue
         out["remat" if remat else "plain"] = {
             "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
             "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
@@ -71,7 +77,7 @@ def probe(scale: int):
         # donated inputs alias outputs, so peak ~= argument + temp
         out["remat" if remat else "plain"]["peak_mb"] = round(
             (ma.argument_size_in_bytes + ma.temp_size_in_bytes) / 2**20, 1)
-    print(json.dumps({"scale": scale, "layers": layers,
+    print(json.dumps({"scale": scale, "layers": layers, "moments": moment,
                       "n_ent": n_ent, "n_edge": n_edge, **out}))
 
 

@@ -63,6 +63,8 @@ def main(mode="pallas"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "rgat":
         cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4)
+    elif mode == "eval":
+        cfg = cfg.replace(use_pallas=True)   # matches bench.py eval mode
     if bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
@@ -79,11 +81,27 @@ def main(mode="pallas"):
     idx = jnp.asarray(rng.integers(n_edge, size=(STEPS, batch)).astype(np.int32))
     mask = jnp.ones((STEPS, batch), jnp.float32)
 
-    def run(p, s, o, seed):
-        p, s, o, loss = trainer._train_epoch_jit(
-            p, s, o, graph, root_key(cfg, seed), lr, idx, mask,
-            bank.queries, bank.label_idx)
-        return p, s, o, float(loss.mean())
+    if mode == "eval":
+        # filtered-rank EVALUATION pass (encode once + scanned decode+rank)
+        from kgc_gcn_tpu.data.batching import epoch_batches
+        eq = np.concatenate([queries, tri[:, 2:3].astype(np.int32)], axis=1)
+        ebank = make_query_bank(eq, labels, n_ent)
+        n_q = STEPS * batch
+        eidx, emask = epoch_batches(n_q, batch, np.random.default_rng(0),
+                                    shuffle=False)
+        eidx, emask = jnp.asarray(eidx), jnp.asarray(emask)
+
+        def run(p, s, o, seed):
+            sums = trainer._eval_pass_jit(
+                p, s, graph, eidx, emask, ebank.queries[:n_q],
+                ebank.label_idx[:n_q])
+            return p, s, o, float(sums["count"])
+    else:
+        def run(p, s, o, seed):
+            p, s, o, loss = trainer._train_epoch_jit(
+                p, s, o, graph, root_key(cfg, seed), lr, idx, mask,
+                bank.queries, bank.label_idx)
+            return p, s, o, float(loss.mean())
 
     p, s, o, _ = run(params, state, opt_state, 1)   # compile + warmup
 
