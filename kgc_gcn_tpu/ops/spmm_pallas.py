@@ -45,6 +45,11 @@ import os
 
 from kgc_gcn_tpu.tiling import TILE_E, TILE_N
 ONEHOT_LIMIT = int(os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024))
+BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
+#   when/where bf16 message modes cast the backward's contrib stream:
+#   'pre' casts before the s-perm gather (half the permuted bytes), 'post'
+#   after it (keeps the gather fused where bf16 convert+gather unfuses into
+#   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3)
 #   max relation one-hot element count (bf16 bytes = 2x this); above it,
 #   relation one-hot matmuls fall back to the rel-sorted kernel / row-gather
 #   paths.  Raised 64M -> 256M 2026-08-18: at FB15k scale (E2=272k x R'=476 =
@@ -577,7 +582,12 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
         d_etab = gd * xg * rg
         if msg_dtype != "float32":
             d_rel_in = d_rel_in.astype(msg_dtype)
-            if contrib is not None:
+            if contrib is not None and BF16_CAST == "pre":
+                # cast before the s-perm gather: halves the bytes the
+                # permutation moves, BUT at FB15k scale XLA unfuses a bf16
+                # convert+gather into a layout copy (BENCH_NOTES round 3) —
+                # BF16_CAST='post' (KGC_BF16_CAST) permutes in f32 and casts
+                # after, keeping the gather fused
                 contrib = contrib.astype(msg_dtype)
 
     # d_x: a segment-sum over SOURCE, so the kernel needs the cotangent
@@ -607,6 +617,8 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
             contrib_s = contrib_s.astype(msg_dtype)
     else:
         contrib_s = contrib[sperm]
+        if msg_dtype != "float32" and contrib_s.dtype != jnp.bfloat16:
+            contrib_s = contrib_s.astype(msg_dtype)   # BF16_CAST='post'
     dx = segment_sum_pallas(
         contrib_s, s_src, s_indptr, x.shape[0], interpret=interpret)
 

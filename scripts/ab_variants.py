@@ -67,6 +67,8 @@ def build(overrides):
     import kgc_gcn_tpu.ops.spmm_pallas as sp
     sp.ONEHOT_LIMIT = int(kw.pop(
         "onehot_limit", os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024)))
+    sp.BF16_CAST = kw.pop(
+        "bf16_cast", os.environ.get("KGC_BF16_CAST", "pre"))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

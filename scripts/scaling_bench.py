@@ -17,7 +17,11 @@ program the TPU pod would run.
 
 Usage: python scripts/scaling_bench.py            # one JSON line on stdout
 Env:   KGC_SCALE_DEVICES (default 8), KGC_SCALE_PLATFORM=native|cpu,
-       KGC_SCALE_STEPS (default 8), KGC_SCALE_EDGES (default 120000).
+       KGC_SCALE_STEPS (default 8), KGC_SCALE_EDGES (default 120000),
+       KGC_SCALE_SCHEDULE=none|gather|ring|boundary (default none — plain
+       edge partition; the entity-sharded schedules also shard the (N, d)
+       activations, so their efficiency is the pod number that matters for
+       beyond-HBM graphs).
 """
 
 import json
@@ -50,15 +54,20 @@ def measure(graph_axis: int, graph, cfg, tri, n_ent, n_edge, steps, batch):
     from kgc_gcn_tpu.train.loop import Trainer, root_key
     from kgc_gcn_tpu.train.optim import make_optimizer
 
-    model = build_model(cfg, n_ent, graph.n_rel, n_edge, e_pad=graph.e_pad)
+    schedule = os.environ.get("KGC_SCALE_SCHEDULE", "none")
+    if graph_axis > 1 and schedule != "none":
+        cfg = cfg.replace(entity_sharded=schedule, graph_axis=graph_axis)
+    mesh = None
+    if graph_axis > 1:
+        mesh = make_mesh(data=1, graph=graph_axis)
+    model = build_model(cfg, n_ent, graph.n_rel, n_edge, e_pad=graph.e_pad,
+                        mesh=mesh)
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = make_optimizer(cfg).init(params)
     bank = make_query_bank(tri[:, :2].astype(np.int32),
                            [[int(o)] for o in tri[:, 2]], n_ent)
 
-    mesh = None
-    if graph_axis > 1:
-        mesh = make_mesh(data=1, graph=graph_axis)
+    if mesh is not None:
         graph = shard_graph(graph, mesh)
         params = shard_params(params, mesh)
         state = shard_params(state, mesh)
@@ -135,6 +144,7 @@ def main():
         "unit": f"fraction of perfect 1->{top} strong scaling",
         "vs_baseline": round(eff / 0.8, 3),   # BASELINE.md target: >=0.8
         "detail": {
+            "schedule": os.environ.get("KGC_SCALE_SCHEDULE", "none"),
             "platform": jax.devices()[0].platform,
             "devices": n_dev, "axes": axes,
             "virtual_devices": virtual,

@@ -390,3 +390,38 @@ def test_aggregate_half_ew_pallas_matches_xla_interpret():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(de_k), np.asarray(gd * xg * rg),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_aggregate_half_pallas_bf16_cast_post(toy, monkeypatch):
+    """BF16_CAST='post' (permute the backward contrib in f32, cast after —
+    the FB15k stacked_xla bf16 fix, BENCH_NOTES round 3): grads stay within
+    bf16 tolerance of f32, and at least as close as the 'pre' variant."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    ds, g, _ = toy
+    rng = np.random.default_rng(9)
+    d = 8
+    x = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+    rel = jnp.asarray(
+        rng.normal(size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+    et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(ds.num_entity, d)).astype(np.float32))
+
+    def grads(msg_dtype):
+        def f(x, rel, et):
+            return jnp.sum(aggregate_half_pallas(
+                x, rel, et, g.inb, ds.num_entity, _interp(),
+                msg_dtype=msg_dtype) * w)
+        return jax.grad(f, argnums=(0, 1, 2))(x, rel, et)
+
+    g32 = grads("float32")
+    monkeypatch.setattr(sp, "BF16_CAST", "post")
+    g_post = grads("bfloat16")
+    monkeypatch.setattr(sp, "BF16_CAST", "pre")
+    g_pre = grads("bfloat16")
+    for a, b, name in zip(g_post, g32, ("x", "rel", "edge")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2, err_msg=name)
+    # d_x error vs f32: post permutes in f32 then casts — never worse
+    err_post = float(jnp.abs(g_post[0] - g32[0]).max())
+    err_pre = float(jnp.abs(g_pre[0] - g32[0]).max())
+    assert err_post <= err_pre + 1e-6, (err_post, err_pre)
