@@ -95,6 +95,8 @@ def main(mode: str = "pallas"):
     if mode not in VALID_MODES:
         raise SystemExit(f"unknown bench mode {mode!r}; valid: "
                          f"{sorted(VALID_MODES)}")
+    if mode == "multichip":
+        return _run(mode)   # runs on the CPU substrate — no TPU to probe
     reason = _probe_backend(int(os.environ.get("KGC_BENCH_PROBE_S", "60")))
     if reason is not None:
         _error_line(mode, "tpu_unavailable", {"probe": reason})
