@@ -227,6 +227,23 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return cfg.replace(**overrides)
 
 
+def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
+    """TPU-first default for corpora WITHOUT a preset: enable the Pallas
+    kernel path when the backend is a TPU, the user didn't specify, and the
+    configuration is kernel-compatible (mirrors the mgcn.py guards).  The
+    WN18RR/FB15k-237 presets already carry it; this catches custom datasets
+    that would otherwise silently train on the slow path (caught by the
+    round-3 SYN soak trace: the epoch ran XLA scatter-adds)."""
+    if (explicit is None and not cfg.use_pallas and backend == "tpu"
+            and cfg.model in ("mgcn", "rgat")
+            and cfg.composition == "mult"
+            and cfg.edge_sample_size == 0
+            and cfg.agg_schedule == "fused"
+            and cfg.entity_sharded in ("none", "gather")):
+        return cfg.replace(use_pallas=True)
+    return cfg
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -241,6 +258,13 @@ def main(argv=None) -> int:
     from kgc_gcn_tpu.parallel.distributed import maybe_initialize
     maybe_initialize()
     from kgc_gcn_tpu.utils.logging import is_host_zero
+
+    new_cfg = maybe_default_pallas(cfg, args.use_pallas,
+                                   jax.default_backend())
+    if new_cfg is not cfg:
+        cfg = new_cfg
+        logging.info("TPU backend: enabling the Pallas kernel path "
+                     "(--no_use_pallas opts out)")
 
     model_dir = os.path.join(cfg.experiments_dir, cfg.dataset)
     os.makedirs(model_dir, exist_ok=True)

@@ -191,3 +191,28 @@ def test_cli_init_embeddings_wiring(workdir):
     with pytest.raises(ValueError, match="shape"):
         _run(workdir, "--dataset", "Toy", "--do_train",
              "--max_epoch", "1", "--init_embeddings", str(bad))
+
+
+def test_maybe_default_pallas_guards():
+    """TPU-first default for presetless corpora: enabled only when the user
+    didn't specify AND the config is kernel-compatible AND the backend is a
+    TPU (the round-3 SYN soak silently ran XLA scatter-adds without this)."""
+    from kgc_gcn_tpu.cli import maybe_default_pallas
+    from kgc_gcn_tpu.config import dataset_preset
+
+    base = dataset_preset("SYN")
+    assert not base.use_pallas
+    assert maybe_default_pallas(base, None, "tpu").use_pallas
+    # explicit user choice (either way) wins
+    assert not maybe_default_pallas(base, False, "tpu").use_pallas
+    # non-TPU backends keep the XLA path (interpret kernels would crawl)
+    assert not maybe_default_pallas(base, None, "cpu").use_pallas
+    # kernel-incompatible configs are left alone
+    for kw in (dict(composition="sub"), dict(edge_sample_size=8),
+               dict(model="rgcn"), dict(entity_sharded="ring", graph_axis=2),
+               dict(agg_schedule="reference")):
+        assert not maybe_default_pallas(
+            base.replace(**kw), None, "tpu").use_pallas
+    # presets that already decided are untouched
+    fb = dataset_preset("FB15k-237")
+    assert maybe_default_pallas(fb, None, "tpu") is fb
