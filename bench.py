@@ -81,12 +81,17 @@ def _probe_backend(timeout_s: int):
 
 
 def _error_line(mode: str, kind: str, detail: dict) -> None:
-    """The structured failure artifact: same schema as a success line, with
-    an ``error`` field, so driver captures stay parseable across outages."""
+    """The structured failure artifact: same schema (metric name and unit)
+    as the mode's success line, with an ``error`` field, so driver captures
+    stay parseable AND keyable across outages."""
+    if mode == "eval":
+        metric, unit = "eval_queries_per_s_per_chip", "queries/s"
+    else:
+        metric = ("train_edges_per_s_per_chip"
+                  + ("" if mode == "pallas" else f"_{mode}"))
+        unit = "edges/s"
     print(json.dumps({
-        "metric": "train_edges_per_s_per_chip"
-                  + ("" if mode == "pallas" else f"_{mode}"),
-        "value": None, "unit": "edges/s", "vs_baseline": None,
+        "metric": metric, "value": None, "unit": unit, "vs_baseline": None,
         "error": kind, "detail": dict(detail, mode=mode),
     }))
 

@@ -224,7 +224,23 @@ def config_from_args(args: argparse.Namespace) -> Config:
             for field in shape_fields:
                 if field not in overrides:   # explicit flags still win
                     overrides[field] = getattr(saved, field)
-    return cfg.replace(**overrides)
+    cfg = cfg.replace(**overrides)
+
+    # a PRESET-sourced use_pallas must yield to explicitly-requested
+    # features the kernels cannot serve — otherwise the documented
+    # `--entity_sharded ring|boundary` (etc.) commands would raise on a
+    # flag the user never passed.  An EXPLICIT --use_pallas still conflicts
+    # loudly (the model's own guards raise).
+    if cfg.use_pallas and "use_pallas" not in overrides and (
+            cfg.entity_sharded in ("ring", "boundary")
+            or cfg.composition != "mult"
+            or cfg.edge_sample_size > 0
+            or cfg.agg_schedule != "fused"
+            or (cfg.spmm_mode != "halves" and cfg.graph_axis > 1)):
+        logging.info("preset use_pallas yields to a kernel-incompatible "
+                     "flag; running the XLA aggregation path")
+        cfg = cfg.replace(use_pallas=False)
+    return cfg
 
 
 def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
@@ -239,6 +255,7 @@ def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
             and cfg.composition == "mult"
             and cfg.edge_sample_size == 0
             and cfg.agg_schedule == "fused"
+            and (cfg.spmm_mode == "halves" or cfg.graph_axis == 1)
             and cfg.entity_sharded in ("none", "gather")):
         return cfg.replace(use_pallas=True)
     return cfg

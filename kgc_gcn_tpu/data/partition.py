@@ -82,6 +82,12 @@ def locality_order(train_triples: np.ndarray, n_ent: int,
         order = locality_order_native(src, dst, n_ent)
         if order is not None:
             return order
+        import logging
+        logging.warning(
+            "native graphcore unavailable — computing the locality order "
+            "with the pure-Python twin (O(sweeps x N) loop; minutes to "
+            "hours at production scale). Build native/libgraphcore.so "
+            "(any g++) for the fast path.")
     return _locality_order_numpy(src, dst, n_ent)
 
 

@@ -45,16 +45,17 @@ import os
 
 from kgc_gcn_tpu.tiling import TILE_E, TILE_N
 ONEHOT_LIMIT = int(os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024))
-BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
-#   when/where bf16 message modes cast the backward's contrib stream:
-#   'pre' casts before the s-perm gather (half the permuted bytes), 'post'
-#   after it (keeps the gather fused where bf16 convert+gather unfuses into
-#   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3)
 #   max relation one-hot element count (bf16 bytes = 2x this); above it,
 #   relation one-hot matmuls fall back to the rel-sorted kernel / row-gather
 #   paths.  Raised 64M -> 256M 2026-08-18: at FB15k scale (E2=272k x R'=476 =
 #   130M) the one-hot matmul replaces a 2.7 ms large-source permutation
 #   gather + pad + kernel with ~1 ms of MXU work per half (see BENCH_NOTES).
+BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
+#   when/where bf16 message modes cast the backward's contrib stream:
+#   'pre' casts before the s-perm gather (half the permuted bytes), 'post'
+#   after it (keeps the gather fused where bf16 convert+gather unfuses into
+#   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3;
+#   measured no fix either way there, kept as a documented knob)
 
 
 def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
@@ -572,7 +573,11 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
     # fusions re-reading gd/xg/rg/etab (1.03 ms/step traced) — the Pallas
     # kernel emits all three in one HBM pass (0.64 ms roofline)
     if (ew_pallas and bwd_perm == "contrib" and _pick_tile(src.shape[0])
-            and not interpret):
+            and not interpret
+            # bwd_products emits contrib already cast to msg_dtype, which
+            # would silently no-op BF16_CAST='post' — honor the knob by
+            # falling back to the XLA products in that combination
+            and not (msg_dtype != "float32" and BF16_CAST == "post")):
         contrib, d_rel_in, d_etab = bwd_products(
             gd, xg, rg, etab, msg_dtype, interpret)
     else:

@@ -45,7 +45,11 @@ def build(overrides):
         rng.integers(n_ent, size=n_edge),
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
-    kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse")
+    kw = dict(batch_size=batch, use_pallas=True, loss_impl="sparse",
+              compute_dtype="float32", moment_dtype="float32")
+    # every baseline-relevant field is pinned so preset evolution (e.g. the
+    # round-3 kernels-on-by-default presets) cannot silently change what a
+    # bare variant measures
     kw.update(overrides)
     # CLI override values arrive as strings — coerce to the Config field's
     # declared type (a str-typed batch_size would break tracing mid-session)

@@ -216,3 +216,27 @@ def test_maybe_default_pallas_guards():
     # presets that already decided are untouched
     fb = dataset_preset("FB15k-237")
     assert maybe_default_pallas(fb, None, "tpu") is fb
+
+
+def test_preset_pallas_yields_to_incompatible_flags():
+    """A PRESET-sourced use_pallas must not make documented commands raise:
+    --entity_sharded ring/boundary (etc.) silently run the XLA path, while
+    an EXPLICIT --use_pallas still conflicts loudly in the model guards."""
+    from kgc_gcn_tpu.cli import build_parser, config_from_args
+    cfg = config_from_args(build_parser().parse_args(
+        ["--dataset", "WN18RR", "--entity_sharded", "boundary",
+         "--graph_axis", "4"]))
+    assert not cfg.use_pallas
+    cfg = config_from_args(build_parser().parse_args(
+        ["--dataset", "WN18RR", "--composition", "sub"]))
+    assert not cfg.use_pallas
+    # explicit flag is preserved (the model will raise its targeted error)
+    cfg = config_from_args(build_parser().parse_args(
+        ["--dataset", "WN18RR", "--use_pallas", "--entity_sharded", "ring",
+         "--graph_axis", "4"]))
+    assert cfg.use_pallas
+    # gather composes with the kernels - preset value kept
+    cfg = config_from_args(build_parser().parse_args(
+        ["--dataset", "WN18RR", "--entity_sharded", "gather",
+         "--graph_axis", "4"]))
+    assert cfg.use_pallas
