@@ -171,10 +171,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition", default="contiguous",
                    choices=["contiguous", "locality"],
                    help="entity numbering: 'locality' renumbers entities "
-                        "with a BFS ordering of the train graph so the "
-                        "multi-chip entity shards cluster (shrinks the "
-                        "--entity_sharded boundary exchange); isomorphic "
-                        "relabel — results identical in distribution")
+                        "with label-propagation community ordering of the "
+                        "train graph so the multi-chip entity shards cluster "
+                        "(shrinks the --entity_sharded boundary exchange); "
+                        "isomorphic relabel — results identical in "
+                        "distribution")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--experiments_dir", default="experiments")
     p.add_argument("--compile_cache_dir", default="",
@@ -244,12 +245,13 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 
 def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
-    """TPU-first default for corpora WITHOUT a preset: enable the Pallas
-    kernel path when the backend is a TPU, the user didn't specify, and the
-    configuration is kernel-compatible (mirrors the mgcn.py guards).  The
-    WN18RR/FB15k-237 presets already carry it; this catches custom datasets
-    that would otherwise silently train on the slow path (caught by the
-    round-3 SYN soak trace: the epoch ran XLA scatter-adds)."""
+    """TPU-first default for configs that did not opt in via preset or flag:
+    enable the Pallas kernel path when the backend is a TPU, the user didn't
+    specify, and the configuration is kernel-compatible (mirrors the mgcn.py
+    guards).  The WN18RR/FB15k-237 presets already carry it; this catches
+    custom datasets (and presets without the flag, e.g. Toy) that would
+    otherwise silently train on the slow path (caught by the round-3 SYN
+    soak trace: the epoch ran XLA scatter-adds)."""
     if (explicit is None and not cfg.use_pallas and backend == "tpu"
             and cfg.model in ("mgcn", "rgat")
             and cfg.composition == "mult"

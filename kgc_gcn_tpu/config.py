@@ -206,10 +206,13 @@ class Config:
                                      # cross-shard moment reductions.
     partition: str = "contiguous"    # contiguous | locality — entity
                                      # numbering (data/partition.py): locality
-                                     # renumbers entities with a BFS ordering
-                                     # of the train graph so the contiguous
-                                     # entity shards cluster and the boundary
-                                     # exchange shrinks.  Isomorphic relabel
+                                     # renumbers entities with label-
+                                     # propagation community ordering of the
+                                     # train graph (BFS was tried and CANNOT
+                                     # recover clusters through noise) so the
+                                     # contiguous entity shards cluster and
+                                     # the boundary exchange shrinks.
+                                     # Isomorphic relabel
                                      # (names keep meaning); checkpoints must
                                      # restore under the same partition (the
                                      # CLI adopts it from params.json).
