@@ -18,10 +18,23 @@ def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
     """
     if cfg.model == "mgcn":
         return MGCN(cfg, n_ent, n_rel, n_edge, e_pad, mesh=mesh)
-    if cfg.model in ("rgcn", "rgat"):
+    if cfg.model == "rgcn":
+        return RGCN(cfg, n_ent, n_rel, n_edge, mesh=mesh)
+    if cfg.model == "rgat":
         if getattr(cfg, "entity_sharded", "none") != "none":
-            raise ValueError("entity_sharded is only supported with model=mgcn")
-        if cfg.model == "rgat":
-            return RGAT(cfg, n_ent, n_rel, n_edge, mesh=mesh)
-        return RGCN(cfg, n_ent, n_rel, n_edge)
+            # deliberate fail-fast, not a gap to paper over: RGAT's segment
+            # softmax needs a TWO-PASS distributed reduction over dst rows
+            # (max, then the exp-sum denominator) BEFORE the weighted
+            # aggregation — with entity rows sharded, dst segments straddle
+            # shard boundaries, so the softmax itself requires two extra
+            # compressed row exchanges per half (or a dst-aligned partition).
+            # That exchange pattern is designed but not built; shipping the
+            # plain schedules here would silently renormalize per shard and
+            # produce WRONG attention weights.
+            raise ValueError(
+                "entity_sharded is not supported with model=rgat: the "
+                "segment softmax needs a two-pass distributed reduction "
+                "(see models/__init__.py for the design note); use "
+                "model=mgcn/rgcn for entity-sharded graphs")
+        return RGAT(cfg, n_ent, n_rel, n_edge, mesh=mesh)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -125,10 +125,11 @@ class MGCN:
                     "with parallel.mesh.make_mesh and pass mesh= (the CLI "
                     "does this from --graph_axis)")
             unsupported = [
-                # the Pallas kernel needs contiguous per-shard CSR ranges;
-                # the ring's per-held-shard blocks are scattered subsets
+                # gather: per-shard contiguous CSR; boundary: per-block CSR
+                # precomputed by build_boundary_plan.  The ring's per-held-
+                # shard blocks select dynamically inside a scan (still XLA)
                 ("use_pallas", cfg.use_pallas
-                 and cfg.entity_sharded != "gather"),
+                 and cfg.entity_sharded not in ("gather", "boundary")),
                 ("edge_sample_size", cfg.edge_sample_size > 0),
                 ("composition", cfg.composition != "mult"),
                 ("agg_schedule", cfg.agg_schedule != "fused"),
@@ -162,13 +163,16 @@ class MGCN:
                 "so every device would process the full edge list; use "
                 "spmm_mode='halves' (the per-shard shard_map kernels) with "
                 "graph_axis > 1")
-        self._es_agg = None          # built by prepare_entity_sharding
-        self._es_blocks = None
-        self._es_csr = None          # gather+pallas per-shard CSR metadata
-        self._es_boundary = None     # per-half boundary-exchange aggregates
-        self.boundary_stats = None   # comm-volume accounting (per half)
+        self._es = None              # built by prepare_entity_sharding
+                                     # (parallel/entity_sharding.py — the
+                                     # schedule plumbing shared with RGCN)
         self._edge_pallas_agg = None  # built by prepare_edge_sharding
         self._edge_csr = None
+
+    @property
+    def boundary_stats(self):
+        """Comm-volume accounting per half (boundary schedule only)."""
+        return self._es.boundary_stats if self._es is not None else None
 
     # ------------------------------------------------------------------ init
 
@@ -382,62 +386,19 @@ class MGCN:
 
     def prepare_entity_sharding(self, graph: Graph) -> None:
         """Host-side setup for ``cfg.entity_sharded`` (must run OUTSIDE jit:
-        the ring schedule's per-device block metadata is computed on the host
-        from the static edge structure).  Idempotent; the Trainer calls it."""
+        schedule metadata is computed on the host from the static edge
+        structure).  Idempotent; the Trainer calls it.  The plumbing lives in
+        parallel/entity_sharding.py (shared with RGCN); compose=None selects
+        the multiplicative MGCN form + the kernel sub-paths."""
         cfg = self.cfg
-        if cfg.entity_sharded == "none" or self._es_agg is not None:
+        if cfg.entity_sharded == "none" or self._es is not None:
             return
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from kgc_gcn_tpu.parallel.distributed import put_global
-        from kgc_gcn_tpu.parallel.edge_parallel import (
-            build_ring_blocks, make_entity_sharded_aggregate,
-            make_ring_aggregate)
-        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
-        g = self.mesh.shape[GRAPH_AXIS]
-        if g < 2:
-            raise ValueError("entity_sharded needs a graph axis > 1")
-        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
-        if cfg.entity_sharded == "ring":
-            agg = make_ring_aggregate(self.mesh, self.n_ent)
-            blocks = {}
-            for name in ("inb", "outb"):
-                b, m = build_ring_blocks(getattr(graph, name), g, agg.n_pad)
-                blocks[name] = (put_global(b, row), put_global(m, row))
-            self._es_blocks = blocks
-        elif cfg.entity_sharded == "boundary":
-            # boundary-compressed overlapped exchange (parallel/boundary.py):
-            # ship only the rows cross-shard edges actually read/write
-            import types
-
-            from kgc_gcn_tpu.parallel.boundary import (
-                build_boundary_plan, make_boundary_aggregate)
-            n_pad = -(-self.n_ent // g) * g
-            aggs, stats = {}, {}
-            for name in ("inb", "outb"):
-                plan, st = build_boundary_plan(getattr(graph, name), g, n_pad)
-                plan = jax.tree.map(lambda a: put_global(a, row), plan)
-                aggs[name] = make_boundary_aggregate(
-                    self.mesh, self.n_ent, plan)
-                stats[name] = st
-            self._es_boundary = aggs
-            self.boundary_stats = stats
-            agg = types.SimpleNamespace(n_pad=n_pad)
-        elif cfg.use_pallas:
-            # both scaling axes + the MXU kernel path: per-shard local CSR
-            # over the padded row space (edge_parallel.py)
-            from kgc_gcn_tpu.parallel.edge_parallel import (
-                build_local_csr, make_entity_sharded_aggregate_pallas)
-            agg = make_entity_sharded_aggregate_pallas(
-                self.mesh, self.n_ent, self._mesh_interpret(),
-                cfg.compute_dtype)
-            self._es_csr = {
-                name: self._put_csr(build_local_csr(
-                    getattr(graph, name), g, n_rows_out=agg.n_pad))
-                for name in ("inb", "outb")}
-        else:
-            agg = make_entity_sharded_aggregate(self.mesh, self.n_ent)
-        self._es_agg = agg
+        from kgc_gcn_tpu.parallel.entity_sharding import (
+            EntityShardedAggregator)
+        self._es = EntityShardedAggregator(
+            cfg, self.mesh, self.n_ent, compose=None,
+            interpret=self._mesh_interpret())
+        self._es.prepare(graph)
 
     def prepare_edge_sharding(self, graph: Graph) -> None:
         """Host-side setup for Pallas kernels UNDER the edge partition.
@@ -482,43 +443,15 @@ class MGCN:
         the graph axis (the graph analog of context parallelism, SURVEY.md
         §5.7): x is padded to the axis-divisible row count, constrained to
         ``P(graph)`` row sharding, aggregated under shard_map (all_gather +
-        psum_scatter, or the ppermute ring), and sliced back — downstream
-        combine/BN/tanh stay row-sharded with XLA inserting the cross-shard
-        BN moment reductions (the §7 'hard part')."""
-        if self._es_agg is None:
+        psum_scatter, the ppermute ring, or the boundary exchange), and
+        sliced back — downstream combine/BN/tanh stay row-sharded with XLA
+        inserting the cross-shard BN moment reductions (the §7 'hard part').
+        Plumbing: parallel/entity_sharding.py (shared with RGCN)."""
+        if self._es is None:
             raise RuntimeError(
                 "call prepare_entity_sharding(graph) before encode "
                 "(the Trainer does this automatically)")
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
-        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
-        n_pad = self._es_agg.n_pad
-        xp = jnp.pad(x, ((0, n_pad - self.n_ent), (0, 0)))
-        xp = jax.lax.with_sharding_constraint(xp, row)
-        if self.cfg.entity_sharded == "ring":
-            b_in, m_in = self._es_blocks["inb"]
-            b_out, m_out = self._es_blocks["outb"]
-            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb,
-                                  b_in, m_in)
-            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
-                                   b_out, m_out)
-        elif self.cfg.entity_sharded == "boundary":
-            in_agg = self._es_boundary["inb"](
-                xp, rel_all, et_full[0], graph.inb)
-            out_agg = self._es_boundary["outb"](
-                xp, rel_all, et_full[1], graph.outb)
-        elif self._es_csr is not None:   # gather schedule on the kernel path
-            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb,
-                                  self._es_csr["inb"])
-            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb,
-                                   self._es_csr["outb"])
-        else:
-            in_agg = self._es_agg(xp, rel_all, et_full[0], graph.inb)
-            out_agg = self._es_agg(xp, rel_all, et_full[1], graph.outb)
-        # slice the padding rows off BEFORE BatchNorm: the moments must be
-        # over exactly the N real entities, matching single-device numerics
-        return in_agg[: self.n_ent], out_agg[: self.n_ent]
+        return self._es.agg_pair(x, rel_all, et_full, graph)
 
     def _agg_halves(self, x, rel_all, et_full, graph: Graph):
         """Per-half relational aggregation of a full (2, E_pad, d) edge table

@@ -81,9 +81,19 @@ def segment_softmax(
     per-edge gathers' backward scatters run through the MXU CSR kernel
     (ops/spmm_pallas.py round-3 wrappers) instead of XLA's serial scatters.
     """
-    smax = jax.lax.stop_gradient(
-        jax.ops.segment_max(logits, seg, num_segments=n_seg,
-                            indices_are_sorted=True))        # (S, H)
+    from kgc_gcn_tpu.ops import spmm_pallas as _sp
+    if use_pallas and indptr is not None and _sp.ATTN_MAX == "pallas":
+        # tiled CSR max kernel (VPU masked lane-reduction — the one-hot MXU
+        # trick doesn't apply to max); XLA's scatter-max lowering costs
+        # ~1.2 ms per half at WN18RR scale (BENCH_NOTES round 3).
+        # stop_gradient goes on the INPUT: a zero tangent makes autodiff
+        # skip the kernel's (unimplemented) JVP entirely
+        smax = _sp.segment_max_sorted(
+            jax.lax.stop_gradient(logits), seg, indptr, n_seg, interpret)
+    else:
+        smax = jax.lax.stop_gradient(
+            jax.ops.segment_max(logits, seg, num_segments=n_seg,
+                                indices_are_sorted=True))    # (S, H)
     smax_e = jnp.where(jnp.isfinite(smax), smax, 0.0)[seg]   # (E, H)
     expd = jnp.where(jnp.isfinite(logits),
                      jnp.exp(logits - smax_e), 0.0)
@@ -110,7 +120,20 @@ def _attend_half(
 ) -> jax.Array:
     """One direction's attention aggregation: (N, d_out)."""
     nh, dh = layer.att_src.shape
-    z = h[half.src] * layer.rel_mult[half.rel]               # (E, d_out)
+    if use_pallas:
+        # the edge message z is SHARED by the logits einsum and the weighted
+        # aggregation: one gather+mul forward and ONE kernel-backed backward
+        # for both paths' d_h/d_rel_mult cotangents (the split version left
+        # the logits path on a 4.8 ms/step XLA scatter pair — round-4 trace)
+        from kgc_gcn_tpu.ops.spmm_pallas import (
+            edge_compose, gather_rows_few, gather_rows_sorted,
+            segment_sum_sorted)
+        z = edge_compose(h, layer.rel_mult, half.src, half.rel, half.sperm,
+                         half.s_indptr, half.s_src,
+                         (half.rperm, half.r_indptr, half.r_rel),
+                         n_ent, interpret)
+    else:
+        z = h[half.src] * layer.rel_mult[half.rel]           # (E, d_out)
     zh = z.reshape(-1, nh, dh)                               # (E, H, dh)
     # the destination term is a per-NODE reduction — precompute it (N, H)
     # and gather H floats per edge instead of gathering the full (E, d_out)
@@ -122,8 +145,6 @@ def _attend_half(
     if use_pallas:
         # per-edge gathers whose BACKWARD scatters route through the MXU
         # CSR kernel / one-hot matmul instead of XLA's serial scatter-add
-        from kgc_gcn_tpu.ops.spmm_pallas import (
-            gather_rows_few, gather_rows_sorted)
         sd_e = gather_rows_sorted(score_dst, half.dst, half.indptr, n_ent,
                                   interpret)
         rb_e = gather_rows_few(
@@ -140,16 +161,94 @@ def _attend_half(
     s = jnp.where(half.norm[:, None] > 0, s, -jnp.inf)
     alpha = segment_softmax(s, half.dst, n_ent, indptr=half.indptr,
                             use_pallas=use_pallas, interpret=interpret)
+    msg = (zh * alpha[:, :, None]).reshape(-1, nh * dh)
     if use_pallas:
-        # MXU CSR kernel for the (E, d_out) weighted aggregation and its
-        # d_h/d_rel_mult cotangents — XLA lowers these as serial scatters,
-        # ~15 ms of the 49 ms RGAT step at WN18RR scale (BENCH_NOTES r3)
-        from kgc_gcn_tpu.ops.spmm_pallas import attn_aggregate_pallas
-        return attn_aggregate_pallas(h, layer.rel_mult, alpha, half, n_ent,
-                                     interpret=interpret)
-    out = jax.ops.segment_sum(zh * alpha[:, :, None], half.dst,
+        # MXU CSR kernel via the generic sorted wrapper: its backward is a
+        # plain gather, the products autodiff elementwise, and d_z flows
+        # into edge_compose's kernel-backed backward
+        return segment_sum_sorted(msg, half.dst, half.indptr, n_ent,
+                                  interpret)
+    out = jax.ops.segment_sum(msg, half.dst,
                               num_segments=n_ent, indices_are_sorted=True)
-    return out.reshape(n_ent, nh * dh)
+    return out
+
+
+def _make_sharded_attend(mesh, n_ent: int, nh: int, interpret: bool):
+    """shard_map'd per-shard attention body for one direction half.
+
+    Each device runs the single-chip kernel schedule on its local edge slice
+    (local CSR from build_local_csr); the three segment reductions combine
+    across shards with pmax/psum — boundary-straddling dst rows are exactly
+    the rows where more than one shard contributes non-identity values.
+    Gradients: the collectives' transposes (psum^T = identity broadcast) and
+    the kernels' custom VJPs; cotangents of the replicated operands (h,
+    rel_mult, att vectors) psum automatically through the shard_map
+    transpose."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from kgc_gcn_tpu.ops.spmm_pallas import (
+        edge_compose, gather_rows_few, gather_rows_sorted,
+        segment_max_sorted, segment_sum_sorted)
+    from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+
+    edge = P(GRAPH_AXIS)
+    rep = P()
+    shardwise = P(GRAPH_AXIS)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep,
+                  edge, edge, edge, edge,
+                  shardwise, shardwise, shardwise, shardwise,
+                  shardwise, shardwise, shardwise),
+        out_specs=rep,
+        check_vma=False,   # pallas out_shape carries no vma annotation
+    )
+    def _attend(h, score_dst, rel_mult, att_src, rel_bias,
+                src, dst, rel, norm,
+                indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr):
+        indptr, sperm, s_src, s_indptr = (indptr[0], sperm[0], s_src[0],
+                                          s_indptr[0])
+        rdata = (rperm[0], r_indptr[0], r_rel[0])
+        n_rel_rows = int(r_indptr.shape[1]) - 1
+        dh = h.shape[1] // nh
+        # shared edge message with the kernel-backed combined backward
+        # (see edge_compose) — per-shard d_h/d_rel partials psum through
+        # the shard_map transpose
+        z = edge_compose(h, rel_mult, src, rel, sperm, s_indptr, s_src,
+                         rdata, n_ent, interpret)
+        zh = z.reshape(-1, nh, dh)
+        sd_e = gather_rows_sorted(score_dst, dst, indptr, n_ent, interpret)
+        rb_e = gather_rows_few(rel_bias, rel, n_rel_rows, rdata, interpret)
+        s = (jnp.einsum("ehd,hd->eh", zh, att_src,
+                        preferred_element_type=jnp.float32) + sd_e + rb_e)
+        s = jax.nn.leaky_relu(s, 0.2)
+        s = jnp.where(norm[:, None] > 0, s, -jnp.inf)
+        smax = segment_max_sorted(jax.lax.stop_gradient(s), dst, indptr,
+                                  n_ent, interpret)
+        smax = jax.lax.pmax(smax, GRAPH_AXIS)              # cross-shard rows
+        smax_e = jnp.where(jnp.isfinite(smax), smax, 0.0)[dst]
+        expd = jnp.where(jnp.isfinite(s), jnp.exp(s - smax_e), 0.0)
+        denom = jax.lax.psum(
+            segment_sum_sorted(expd, dst, indptr, n_ent, interpret),
+            GRAPH_AXIS)
+        denom_e = gather_rows_sorted(jnp.maximum(denom, 1e-9), dst, indptr,
+                                     n_ent, interpret)
+        alpha = expd / denom_e
+        msg = (zh * alpha[:, :, None]).reshape(-1, nh * dh)
+        out = segment_sum_sorted(msg, dst, indptr, n_ent, interpret)
+        return jax.lax.psum(out, GRAPH_AXIS)
+
+    def attend(h, score_dst, layer, half: GraphHalf, csr):
+        indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr = csr
+        return _attend(h, score_dst, layer.rel_mult, layer.att_src,
+                       layer.rel_bias, half.src, half.dst, half.rel,
+                       half.norm, indptr, sperm, s_src, s_indptr,
+                       rperm, r_rel, r_indptr)
+
+    return attend
 
 
 class RGAT(DecoderFamilyMixin):
@@ -170,17 +269,13 @@ class RGAT(DecoderFamilyMixin):
             raise ValueError(f"num_heads={self.nh} must divide "
                              f"gcn_out_dim={cfg.gcn_out_dim}")
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
-        # the attention kernel path: single-(graph-)shard only — GSPMD would
-        # reshard a Pallas custom call's inputs to replicated (see mgcn.py)
+        # GSPMD cannot partition a Pallas custom call — under graph_axis > 1
+        # the kernels run per shard via shard_map (prepare_edge_sharding;
+        # the Trainer calls it), exactly like MGCN's edge-partition path
         self._use_pallas = bool(cfg.use_pallas)
-        if self._use_pallas and mesh is not None \
-                and mesh.shape.get("graph", 1) > 1:
-            import logging
-            logging.warning(
-                "model=rgat ignores use_pallas under graph_axis > 1 (the "
-                "attention kernel cannot ride the edge partition); running "
-                "the XLA segment-softmax path")
-            self._use_pallas = False
+        self.mesh = mesh
+        self._edge_csr = None       # per-shard CSR metadata (edge partition)
+        self._sharded_attend = None
 
     def _layer_dims(self) -> List[Tuple[int, int]]:
         cfg = self.cfg
@@ -190,6 +285,39 @@ class RGAT(DecoderFamilyMixin):
             dims.append((d, cfg.gcn_out_dim))
             d = cfg.gcn_out_dim
         return dims
+
+    def prepare_edge_sharding(self, graph: Graph) -> None:
+        """Per-shard attention kernels under the edge partition (the Trainer
+        calls this when ``use_pallas`` and a graph mesh are active).
+
+        GSPMD would reshard the Pallas custom calls' inputs to replicated, so
+        the kernel path rides shard_map instead: each device runs the FULL
+        single-chip attention body (logit kernels, segment softmax, weighted
+        MXU aggregation) on its local dst-sorted edge slice with local CSR
+        metadata (parallel/edge_parallel.build_local_csr), plus three cheap
+        collectives at the segment-reduction points — pmax of the (N, H)
+        softmax max, psum of the (N, H) denominator, psum of the (N, d_out)
+        aggregate.  dst segments that straddle slice boundaries combine
+        exactly through those collectives.  Idempotent."""
+        if (not self._use_pallas or self.mesh is None
+                or self._edge_csr is not None):
+            return
+        from kgc_gcn_tpu.parallel.edge_parallel import build_local_csr
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        g = self.mesh.shape.get(GRAPH_AXIS, 1)
+        if g < 2:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.distributed import put_global
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        self._edge_csr = {
+            name: tuple(put_global(a, row) for a in
+                        build_local_csr(getattr(graph, name), g))
+            for name in ("inb", "outb")}
+        self._sharded_attend = _make_sharded_attend(
+            self.mesh, self.n_ent, self.nh,
+            next(iter(self.mesh.devices.flat)).platform != "tpu")
 
     def init(self, key: jax.Array) -> Tuple[RGATParams, RGATState]:
         cfg = self.cfg
@@ -235,11 +363,25 @@ class RGAT(DecoderFamilyMixin):
         interp = up and jax.default_backend() != "tpu"
         for i, layer in enumerate(params.layers):
             h = x @ layer.weight                              # ONE MXU matmul
-            agg = (_attend_half(h, layer, graph.inb, self.n_ent,
-                                use_pallas=up, interpret=interp)
-                   + _attend_half(h, layer, graph.outb, self.n_ent,
-                                  use_pallas=up, interpret=interp)
-                   + x @ layer.self_weight)
+            if self._edge_csr is not None:
+                # per-shard kernels under the edge partition (shard_map;
+                # prepare_edge_sharding) — GSPMD would replicate the custom
+                # calls' inputs and run every edge on every device
+                nh, dh = layer.att_src.shape
+                score_dst = jnp.einsum(
+                    "nhd,hd->nh", h.reshape(self.n_ent, nh, dh),
+                    layer.att_dst, preferred_element_type=jnp.float32)
+                agg = (self._sharded_attend(h, score_dst, layer, graph.inb,
+                                            self._edge_csr["inb"])
+                       + self._sharded_attend(h, score_dst, layer, graph.outb,
+                                              self._edge_csr["outb"])
+                       + x @ layer.self_weight)
+            else:
+                agg = (_attend_half(h, layer, graph.inb, self.n_ent,
+                                    use_pallas=up, interpret=interp)
+                       + _attend_half(h, layer, graph.outb, self.n_ent,
+                                      use_pallas=up, interpret=interp)
+                       + x @ layer.self_weight)
             x = jax.nn.relu(agg)
             x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
         return x, params.relation_embedding, None

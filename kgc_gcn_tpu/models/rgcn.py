@@ -24,6 +24,7 @@ TPU schedules (the interesting part — a naive per-edge ``W[rel_e]`` gather is
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -66,15 +67,32 @@ def _basis_aggregate(
     layer: RGCNLayerParams,
     half: GraphHalf,
     n_ent: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Basis-decomposed relational aggregation for one direction half."""
+    """Basis-decomposed relational aggregation for one direction half.
+
+    With ``use_pallas`` the (E, B*d_in) weighted expansion aggregates
+    through the MXU CSR kernel (segment_sum_sorted — VMEM-adaptive edge
+    tiles for the wide message) instead of XLA's scatter lowering; the
+    wrapper's gather backward + elementwise product autodiff replace the
+    backward scatter.  The traffic (E*B*d_in both ways) is inherent to the
+    basis expansion; the kernel changes the scatter into MXU matmuls.
+    """
     a = layer.coeff[half.rel]                      # (E, B)
     msg = x[half.src] * half.norm[:, None]         # (E, d_in)
     # (E, B, d_in) weighted copies -> B segment sums; XLA fuses the broadcast.
     weighted = msg[:, None, :] * a[:, :, None]
-    agg = jax.ops.segment_sum(
-        weighted, half.dst, num_segments=n_ent, indices_are_sorted=True
-    )                                              # (N, B, d_in)
+    if use_pallas:
+        from kgc_gcn_tpu.ops.spmm_pallas import segment_sum_sorted
+        e = weighted.shape[0]
+        agg = segment_sum_sorted(
+            weighted.reshape(e, -1), half.dst, half.indptr, n_ent,
+            interpret).reshape(n_ent, a.shape[1], -1)
+    else:
+        agg = jax.ops.segment_sum(
+            weighted, half.dst, num_segments=n_ent, indices_are_sorted=True
+        )                                          # (N, B, d_in)
     return jnp.einsum(
         "nbd,bdo->no", agg, layer.basis,
         preferred_element_type=jnp.float32)
@@ -108,12 +126,27 @@ def _block_aggregate(
         wb = layer.blocks[r]                                # (C, B, bin, bout)
         m = jnp.einsum("cbi,cbio->cbo", xs, wb,
                        preferred_element_type=jnp.float32).reshape(chunk, nb * bout)
-        acc = acc + jax.ops.segment_sum(m, d, num_segments=n_ent)
+        # chunks are contiguous slices of the dst-sorted half (tail padding
+        # fills with n_ent-1, the maximal id) — each chunk stays sorted
+        acc = acc + jax.ops.segment_sum(m, d, num_segments=n_ent,
+                                        indices_are_sorted=True)
         return acc, None
 
     init = jnp.zeros((n_ent, nb * bout), jnp.float32)
     out, _ = jax.lax.scan(body, init, (src, dst, rel, norm))
     return out
+
+
+def basis_compose(x_rows, coeff, rel_ids, et_rows, norm):
+    """Entity-sharded basis compose (edge_parallel.mult_compose contract):
+    the (E, B*d_in) basis-weighted message expansion.  ``coeff`` rides the
+    schedules' replicated relation-table slot; ``et_rows`` (a (E, 1) ones
+    placeholder — RGCN has no per-edge table) is ignored.  The basis einsum
+    runs AFTER the exchange, row-sharded (models/rgcn.py encode)."""
+    del et_rows
+    a = coeff[rel_ids]                                   # (E, B)
+    msg = x_rows * norm[:, None]                         # (E, d_in)
+    return (msg[:, None, :] * a[:, :, None]).reshape(msg.shape[0], -1)
 
 
 class RGCN(DecoderFamilyMixin):
@@ -122,8 +155,10 @@ class RGCN(DecoderFamilyMixin):
 
     _state_cls = RGCNState
 
-    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int):
+    def __init__(self, cfg: Config, n_ent: int, n_rel: int, n_edge: int,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.n_ent = n_ent
         self.n_rel = n_rel
         self.n_edge = n_edge
@@ -134,6 +169,45 @@ class RGCN(DecoderFamilyMixin):
             self.mode = "basis"
             self.nb = cfg.num_bases if cfg.num_bases > 0 else min(2 * n_rel, 30)
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
+        self._es = None        # built by prepare_entity_sharding
+        self._es_ones = None   # (2, E_pad, 1) per-edge placeholder
+        if cfg.entity_sharded != "none":
+            if mesh is None:
+                raise ValueError(
+                    "entity_sharded needs a (data, graph) mesh — the CLI "
+                    "builds it from --graph_axis")
+            if self.mode != "basis":
+                raise ValueError(
+                    "entity_sharded with model=rgcn supports the basis "
+                    "decomposition only (num_blocks=0): the block weights "
+                    "vary per edge, so the compose cannot ride the shared "
+                    "exchange schedules")
+
+    @property
+    def boundary_stats(self):
+        """Comm-volume accounting per half (boundary schedule only)."""
+        return self._es.boundary_stats if self._es is not None else None
+
+    def prepare_entity_sharding(self, graph: Graph) -> None:
+        """Entity-sharded schedules via the shared plumbing
+        (parallel/entity_sharding.py) with the basis compose.  The Trainer
+        calls this; idempotent."""
+        if self.cfg.entity_sharded == "none" or self._es is not None:
+            return
+        from kgc_gcn_tpu.parallel.entity_sharding import (
+            EntityShardedAggregator)
+        self._es = EntityShardedAggregator(
+            self.cfg, self.mesh, self.n_ent, compose=basis_compose,
+            interpret=next(iter(self.mesh.devices.flat)).platform != "tpu")
+        self._es.prepare(graph)
+        e_pad = int(graph.inb.src.shape[0])
+        ones = jnp.ones((2, e_pad, 1), jnp.float32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.distributed import put_global
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        self._es_ones = put_global(
+            ones, NamedSharding(self.mesh, P(None, GRAPH_AXIS)))
 
     def _layer_dims(self) -> List[Tuple[int, int]]:
         cfg = self.cfg
@@ -190,12 +264,37 @@ class RGCN(DecoderFamilyMixin):
     ) -> Tuple[jax.Array, jax.Array, Any]:
         cfg = self.cfg
         rngs = rngs or {}
-        agg = _basis_aggregate if self.mode == "basis" else _block_aggregate
+        if self.mode == "basis":
+            up = cfg.use_pallas and cfg.entity_sharded == "none" \
+                and (self.mesh is None
+                     or self.mesh.shape.get("graph", 1) == 1)
+            interp = up and jax.default_backend() != "tpu"
+            agg = functools.partial(_basis_aggregate, use_pallas=up,
+                                    interpret=interp)
+        else:
+            agg = _block_aggregate
         x = params.entity_embedding
         for i, layer in enumerate(params.layers):
-            h = (agg(x, layer, graph.inb, self.n_ent)
-                 + agg(x, layer, graph.outb, self.n_ent)
-                 + x @ layer.self_weight)
+            if cfg.entity_sharded != "none":
+                # shared exchange schedules (gather/ring/boundary) with the
+                # basis compose; the einsum runs after, row-sharded
+                if self._es is None:
+                    raise RuntimeError(
+                        "call prepare_entity_sharding(graph) before encode "
+                        "(the Trainer does this automatically)")
+                in_m, out_m = self._es.agg_pair(
+                    x, layer.coeff, self._es_ones, graph)
+
+                def proj(m):
+                    return jnp.einsum(
+                        "nbd,bdo->no", m.reshape(self.n_ent, self.nb, -1),
+                        layer.basis, preferred_element_type=jnp.float32)
+
+                h = proj(in_m) + proj(out_m) + x @ layer.self_weight
+            else:
+                h = (agg(x, layer, graph.inb, self.n_ent)
+                     + agg(x, layer, graph.outb, self.n_ent)
+                     + x @ layer.self_weight)
             x = jax.nn.relu(h)
             x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
         return x, params.relation_embedding, None

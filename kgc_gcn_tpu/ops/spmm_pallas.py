@@ -56,6 +56,13 @@ BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
 #   after it (keeps the gather fused where bf16 convert+gather unfuses into
 #   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3;
 #   measured no fix either way there, kept as a documented knob)
+SPERM_BARRIER = os.environ.get("KGC_SPERM_BARRIER", "0") == "1"
+#   scheduling experiment (round-2 open lever): the backward's contrib[sperm]
+#   gather measures 2.7 ms IN CONTEXT at FB15k scale vs 0.82 ms isolated
+#   (gather_micro.py) — hypothesis was scheduling/memory pressure around the
+#   Pallas custom calls.  '1' fences the gather with optimization_barrier on
+#   both sides, forcing XLA to schedule it as an isolated region; A/B via
+#   ab_variants sperm_barrier:1.
 
 
 def _seg_kernel(bounds_ref, msg_hbm, dst_hbm, out_ref,
@@ -141,11 +148,22 @@ def segment_sum_pallas(msg: jax.Array, dst: jax.Array, indptr: jax.Array,
     (n_rows, D).  Rows with no edges get zeros.  ``indptr`` is the (n_rows+1,)
     CSR pointer array of ``dst``."""
     e_orig, d_orig = msg.shape
-    tile_e = TILE_E
-    tile_n = TILE_N
     # Mosaic DMA slices must be lane-aligned: pad the feature dim to 128 and
     # the edge dim to a multiple of tile_e (pad dst with a never-matching id)
     d = -(-d_orig // 128) * 128
+    # WIDE messages (e.g. RGCN's (E, B*d_in) basis expansion, 3072 lanes at
+    # FB15k config 3) blow the 16 MiB scoped-VMEM budget at the default
+    # tiles: shrink until double-buffered inputs stay under ~4 MiB and the
+    # output block under ~2 MiB — the hi/lo bf16 splits and MXU partial
+    # results are stack intermediates that scale with tile_n*d on top of
+    # the declared scratch (measured: 12 MiB of declared buffers OOM'd at
+    # 16.28M actual)
+    tile_e = TILE_E
+    while tile_e > 128 and 2 * tile_e * d * 4 > 4 * 2**20:
+        tile_e //= 2
+    tile_n = TILE_N
+    while tile_n > 64 and tile_n * d * 4 > 2 * 2**20:
+        tile_n //= 2
     e_total = -(-e_orig // tile_e) * tile_e
     if d != d_orig or e_total != e_orig:
         msg = jnp.pad(msg, ((0, e_total - e_orig), (0, d - d_orig)))
@@ -621,7 +639,14 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
         if msg_dtype != "float32":
             contrib_s = contrib_s.astype(msg_dtype)
     else:
-        contrib_s = contrib[sperm]
+        if SPERM_BARRIER:
+            # scheduling experiment: fence the permutation gather so XLA
+            # schedules it as an isolated region (see the knob's comment)
+            (contrib,) = jax.lax.optimization_barrier((contrib,))
+            contrib_s = contrib[sperm]
+            (contrib_s,) = jax.lax.optimization_barrier((contrib_s,))
+        else:
+            contrib_s = contrib[sperm]
         if msg_dtype != "float32" and contrib_s.dtype != jnp.bfloat16:
             contrib_s = contrib_s.astype(msg_dtype)   # BF16_CAST='post'
     dx = segment_sum_pallas(
@@ -701,73 +726,177 @@ def aggregate_half_pallas(x, rel_all, etab, half: GraphHalf, n_ent: int,
         n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm)
 
 
-# ------------------------------------------ attention-weighted aggregation
+# ----------------------------------------------------- CSR segment-max kernel
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def _attn_agg_cvjp(h, rel_mult, alpha, src, dst, rel,
-                   indptr, sperm, s_indptr, s_src, rdata,
-                   n_ent, interpret):
-    """out[n] = sum_{e: dst_e = n} (h[src_e] * rel_mult[rel_e]) * rep(alpha_e)
+ATTN_MAX = os.environ.get("KGC_ATTN_MAX", "pallas")
+#   'pallas' routes the RGAT softmax's forward segment-max through the tiled
+#   CSR max kernel below; 'xla' keeps jax.ops.segment_max (scatter-max
+#   lowering, ~1.2 ms per half at WN18RR scale — BENCH_NOTES round 3).
+#   Module knob (not a Config field) so ab_variants can A/B it in-session.
 
-    The RGAT hot path (models/rgat.py): XLA lowers the (E, d_out) weighted
-    segment-sum and the backward's d_h scatter over src as serial
-    scatter-adds (~15 ms/step of the 49 ms RGAT step at WN18RR scale,
-    BENCH_NOTES round 3); this routes both through the MXU CSR kernel like
-    the MGCN path.  ``alpha`` is (E, H), broadcast over d_out/H-sized
-    chunks.  The attention weights' own gradient path (softmax over logits)
-    stays in XLA — only the final aggregation and its d_h/d_rel_mult
-    cotangents run here.
+
+def _seg_max_kernel(bounds_ref, logt_hbm, dst_hbm, out_ref,
+                    log_vmem, dst_vmem, sems, *, tile_n, tile_e, n_heads):
+    """Per-segment MAX over dst-sorted edges for NARROW values (the RGAT
+    (E, H) attention logits).
+
+    Same CSR tiling/double-buffered-DMA structure as ``_seg_kernel``, but max
+    has no sum-of-products form so the one-hot MXU trick doesn't apply —
+    instead each head is a masked VPU lane-reduction: broadcast the head's
+    (1, tile_e) logit row against the (tile_n, tile_e) dst-match mask, take
+    ``max`` over the edge lanes, and combine into the running per-row max.
+    Logits arrive TRANSPOSED (H_pad, E_pad) so a head is a sublane row —
+    no in-kernel transpose.  Out-of-range edges self-mask exactly as in the
+    sum kernel (their dst falls outside the tile's rows); empty segments
+    keep the -inf init, matching ``jax.ops.segment_max`` identity.
     """
-    d = h.shape[1]
-    nh = alpha.shape[1]
-    z = h[src] * rel_mult[rel]
-    msg = (z.reshape(-1, nh, d // nh) * alpha[:, :, None]).reshape(-1, d)
-    return segment_sum_pallas(msg, dst, indptr, n_ent, interpret=interpret)
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    row0 = t * tile_n
+    a0 = pl.multiple_of((start // tile_e) * tile_e, tile_e)
+
+    out_ref[:] = jnp.full_like(out_ref, -jnp.inf)
+    n_chunks = pl.cdiv(end - a0, tile_e)
+
+    def dmas(slot, ci):
+        e0 = pl.multiple_of(a0 + ci * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                logt_hbm.at[:, pl.ds(e0, tile_e)], log_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem.at[slot],
+                sems.at[slot, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for cp in dmas(1 - slot, ci + 1):
+                cp.start()
+
+        for cp in dmas(slot, ci):
+            cp.wait()
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, tile_e), 0) + row0
+        mine = rows == dst_vmem[slot]                    # (tile_n, tile_e)
+        for h in range(n_heads):                         # static: H is tiny
+            vals = jnp.where(mine, log_vmem[slot][h:h + 1, :], -jnp.inf)
+            red = jnp.max(vals, axis=1, keepdims=True)   # (tile_n, 1)
+            out_ref[:, h:h + 1] = jnp.maximum(out_ref[:, h:h + 1], red)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _attn_agg_fwd(h, rel_mult, alpha, src, dst, rel,
-                  indptr, sperm, s_indptr, s_src, rdata,
-                  n_ent, interpret):
-    out = _attn_agg_cvjp(h, rel_mult, alpha, src, dst, rel, indptr, sperm,
-                         s_indptr, s_src, rdata, n_ent, interpret)
-    return out, (h, rel_mult, alpha, src, dst, rel,
-                 sperm, s_indptr, s_src, rdata)
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def segment_max_sorted(logits: jax.Array, seg: jax.Array, indptr: jax.Array,
+                       n_rows: int, interpret: bool = False) -> jax.Array:
+    """Sorted-COO segment-max: (E, H) logits + non-decreasing (E,) seg ->
+    (n_rows, H); empty segments get -inf (the ``jax.ops.segment_max``
+    identity).  NOT differentiable — the only caller is the softmax max
+    subtraction, whose gradient is exactly zero (shift invariance), so wrap
+    in ``stop_gradient``."""
+    e_orig, h_orig = logits.shape
+    tile_e = TILE_E
+    tile_n = TILE_N
+    h_pad = -(-h_orig // 8) * 8
+    e_total = -(-e_orig // tile_e) * tile_e
+    logt = jnp.pad(logits, ((0, e_total - e_orig), (0, h_pad - h_orig))).T
+    if e_total != e_orig:
+        seg = jnp.pad(seg, (0, e_total - e_orig),
+                      constant_values=np.int32(2**30))
+    n_tiles = -(-n_rows // tile_n)
+
+    tile_rows = jnp.minimum(np.arange(n_tiles + 1) * tile_n, n_rows)
+    bounds = indptr[tile_rows].astype(jnp.int32)
+
+    kernel = functools.partial(_seg_max_kernel, tile_n=tile_n, tile_e=tile_e,
+                               n_heads=h_orig)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # logitsᵀ stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # seg ids stay in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_n, h_pad), lambda t, bounds: (t, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, h_pad, tile_e), logt.dtype),
+                pltpu.VMEM((2, 1, tile_e), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, h_pad),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, logt, seg.reshape(1, -1))
+    return out[:n_rows, :h_orig]
 
 
-def _attn_agg_bwd(n_ent, interpret, res, g):
-    h, rel_mult, alpha, src, dst, rel, sperm, s_indptr, s_src, rdata = res
-    d = h.shape[1]
-    nh = alpha.shape[1]
-    dh = d // nh
-    gd = g[dst]                                        # (E, d)
-    zg = h[src] * rel_mult[rel]                        # recomputed (cheap VPU)
-    d_alpha = (gd * zg).reshape(-1, nh, dh).sum(-1)    # (E, H)
-    d_z = (gd.reshape(-1, nh, dh) * alpha[:, :, None]).reshape(-1, d)
-    # d_h: segment-sum over SOURCE — same kernel on the src-sorted permutation
-    contrib = d_z * rel_mult[rel]
-    d_h = segment_sum_pallas(contrib[sperm], s_src, s_indptr, h.shape[0],
-                             interpret=interpret)[:, :d]
-    # d_rel_mult: few segments — one-hot MXU matmul (rel-sorted CSR kernel at
-    # FB15k-scale vocabularies), sliced to the 2R real rows
+# ------------------------------------------ attention edge-message compose
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def edge_compose(h, rel_mult, src, rel, sperm, s_indptr, s_src, rdata,
+                 n_rows, interpret):
+    """``z = h[src] * rel_mult[rel]`` with the backward scatters routed
+    through the MXU kernels — the SHARED edge message of the RGAT layer.
+
+    Round-4 trace finding (BENCH_NOTES): the attention layer consumed z on
+    TWO paths — the logits einsum and the weighted aggregation — and while
+    the aggregation's custom VJP ran its d_h through the CSR kernel, the
+    logits path's ``z`` was plain autodiff, whose d_h/d_rel_mult lowered to
+    a 4.8 ms/step XLA scatter-add pair at WN18RR scale (the single biggest
+    line of the 34.9-steps/s profile).  Computing z ONCE through this op
+    merges both paths' cotangents into one kernel-backed backward:
+
+      * d_h   — CSR segment-sum over the src-sorted permutation,
+      * d_rel — one-hot MXU matmul (rel-sorted CSR kernel at FB15k-scale
+        vocabularies), sliced to the table's real rows.
+
+    The weighted aggregation itself then needs no custom treatment: its
+    ``segment_sum_sorted`` wrapper backward is a plain gather and the
+    per-edge products autodiff elementwise, with d_z flowing back here.
+    """
+    del sperm, s_indptr, s_src, rdata
+    return h[src] * rel_mult[rel]
+
+
+def _edge_compose_fwd(h, rel_mult, src, rel, sperm, s_indptr, s_src, rdata,
+                      n_rows, interpret):
+    return h[src] * rel_mult[rel], (h, rel_mult, src, rel, sperm, s_indptr,
+                                    s_src, rdata)
+
+
+def _edge_compose_bwd(n_rows, interpret, res, g):
+    h, rel_mult, src, rel, sperm, s_indptr, s_src, rdata = res
+    d = g.shape[1]
+    d_h = segment_sum_pallas((g * rel_mult[rel])[sperm], s_src, s_indptr,
+                             n_rows, interpret=interpret)[:, :d]
     n_seg = rdata[1].shape[0] - 1
-    d_rel = _segment_sum_few(d_z * h[src], rel, n_seg,
+    d_rel = _segment_sum_few(g * h[src], rel, n_seg,
                              rdata=rdata, interpret=interpret)[
         : rel_mult.shape[0], :d]
-    return (d_h, d_rel, d_alpha) + (None,) * 8
+    return (d_h, d_rel) + (None,) * 6
 
 
-_attn_agg_cvjp.defvjp(_attn_agg_fwd, _attn_agg_bwd)
-
-
-def attn_aggregate_pallas(h, rel_mult, alpha, half: GraphHalf, n_ent: int,
-                          interpret: bool = False):
-    """Pallas-backed attention-weighted aggregation for one direction half
-    (drop-in for the XLA segment-sum in models/rgat.py _attend_half)."""
-    return _attn_agg_cvjp(
-        h, rel_mult, alpha, half.src, half.dst, half.rel, half.indptr,
-        half.sperm, half.s_indptr, half.s_src,
-        (half.rperm, half.r_indptr, half.r_rel),
-        n_ent, interpret)
+edge_compose.defvjp(_edge_compose_fwd, _edge_compose_bwd)
 
 
 # ------------------------------- generic sorted segment-sum / gather wrappers

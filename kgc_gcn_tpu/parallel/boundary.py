@@ -110,6 +110,22 @@ class BoundaryPlan:
     out_mask_k: tuple     # each f32 (G, S[k])
     recv_pos_k: tuple     # each int32 (G, S[k]) — receiver-local output rows
                           #   for step k arrivals (from (i - k) % G)
+    # --- per-block CSR metadata for the Pallas kernel path (use_pallas):
+    #     each block's dst_loc ids are non-decreasing (the block is an
+    #     increasing subset of a dst-sorted slice), so the MXU CSR segment-sum
+    #     kernel applies per block; the backward's d_x needs each block
+    #     SRC-sorted within its compact buffer row space ---
+    seg0: jax.Array = None        # int32 (G, B0) — dst_loc per local-block
+                                  #   entry (precomputed, saves a gather)
+    indptr0: jax.Array = None     # int32 (G, d_max+1)
+    sperm0: jax.Array = None      # int32 (G, B0) — argsort by loc0
+    sloc0: jax.Array = None       # int32 (G, B0) — loc0[sperm0]
+    s_indptr0: jax.Array = None   # int32 (G, rows_per+1)
+    seg_t: tuple = ()             # per t: int32 (G, B_e[t])
+    indptr_t: tuple = ()          # per t: int32 (G, d_max+1)
+    sperm_t: tuple = ()           # per t: int32 (G, B_e[t])
+    sloc_t: tuple = ()            # per t: int32 (G, B_e[t])
+    s_indptr_t: tuple = ()        # per t: int32 (G, B_max[t]+1)
     # --- static ---
     t_steps: tuple = _static(default=())  # input steps with any traffic
     k_steps: tuple = _static(default=())  # output steps with any traffic
@@ -156,10 +172,23 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
         if any(len(U[i][(i - t) % G]) for i in range(G)))
     d_max = max(1, max(len(u) for u in uniq_d))
 
-    def fill_block(t, b_e):
+    def fill_block(t, b_e, n_buf):
+        """Block arrays + the kernel path's per-block CSR/sort metadata.
+
+        ``n_buf`` is the block's source-buffer row count (``rows_per`` for
+        the local block, the step's padded send width otherwise).  Padding
+        entries repeat the last real entry, so ``seg`` stays non-decreasing
+        and ``loc`` padding lands on a real buffer row; their mask is 0 so
+        both the forward sum and the d_x backward see zero contributions.
+        """
         blk = np.zeros((G, b_e), np.int32)
         mask = np.zeros((G, b_e), np.float32)
         loc = np.zeros((G, b_e), np.int32)
+        seg = np.zeros((G, b_e), np.int32)
+        indptr = np.zeros((G, d_max + 1), np.int32)
+        sperm = np.zeros((G, b_e), np.int32)
+        sloc = np.zeros((G, b_e), np.int32)
+        s_indptr = np.zeros((G, n_buf + 1), np.int32)
         for i in range(G):
             pos = blocks[i][t]
             n = len(pos)
@@ -175,19 +204,36 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
                 lo = np.searchsorted(U[i][(i - t) % G], ls_blk)
             loc[i, :n] = lo
             loc[i, n:] = lo[-1]
-        return jnp.asarray(blk), jnp.asarray(mask), jnp.asarray(loc)
+            ids = inv_d[i][pos]
+            seg[i, :n] = ids
+            seg[i, n:] = ids[-1]
+            indptr[i] = np.searchsorted(seg[i], np.arange(d_max + 1), "left")
+            order = np.argsort(loc[i], kind="stable").astype(np.int32)
+            sperm[i] = order
+            sloc[i] = loc[i][order]
+            s_indptr[i] = np.searchsorted(sloc[i], np.arange(n_buf + 1),
+                                          "left")
+        return tuple(jnp.asarray(a) for a in
+                     (blk, mask, loc, seg, indptr, sperm, sloc, s_indptr))
 
     b0 = max(1, max(len(blocks[i][0]) for i in range(G)))
-    blk0, blk0_mask, loc0 = fill_block(0, b0)
+    (blk0, blk0_mask, loc0, seg0, indptr0,
+     sperm0, sloc0, s_indptr0) = fill_block(0, b0, rows_per)
 
     blk_t, blk_mask_t, loc_t, send_t = [], [], [], []
+    seg_t, indptr_t, sperm_t, sloc_t, s_indptr_t = [], [], [], [], []
     for t in t_steps:
         b_e = max(1, max(len(blocks[i][t]) for i in range(G)))
-        b, m, lo = fill_block(t, b_e)
+        b_max = max(1, max(len(U[(i + t) % G][i]) for i in range(G)))
+        b, m, lo, sg, ip, sp, sl, sip = fill_block(t, b_e, b_max)
         blk_t.append(b)
         blk_mask_t.append(m)
         loc_t.append(lo)
-        b_max = max(1, max(len(U[(i + t) % G][i]) for i in range(G)))
+        seg_t.append(sg)
+        indptr_t.append(ip)
+        sperm_t.append(sp)
+        sloc_t.append(sl)
+        s_indptr_t.append(sip)
         send = np.zeros((G, b_max), np.int32)
         for i in range(G):
             u = U[(i + t) % G][i]
@@ -243,6 +289,11 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
         self_mask=jnp.asarray(self_mask),
         out_send_k=tuple(out_send_k), out_mask_k=tuple(out_mask_k),
         recv_pos_k=tuple(recv_pos_k),
+        seg0=seg0, indptr0=indptr0, sperm0=sperm0, sloc0=sloc0,
+        s_indptr0=s_indptr0,
+        seg_t=tuple(seg_t), indptr_t=tuple(indptr_t),
+        sperm_t=tuple(sperm_t), sloc_t=tuple(sloc_t),
+        s_indptr_t=tuple(s_indptr_t),
         t_steps=t_steps, k_steps=k_steps, d_max=d_max, rows_per=rows_per)
     stats = {
         "n_pad": n_pad,
@@ -260,13 +311,26 @@ def build_boundary_plan(half: GraphHalf, g_size: int, n_pad: int):
     return plan, stats
 
 
-def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
+def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan,
+                            use_pallas: bool = False,
+                            interpret: bool = False,
+                            msg_dtype: str = "float32",
+                            compose=None):
     """Build ``agg(x_sharded, rel_all, etab, half) -> (n_pad, d) row-sharded``
     for one half, numerically equal to the gather/ring schedules (up to float
     reassociation) with boundary-compressed exchange.
 
     The plan's arrays must be device_put with ``P(graph)`` on axis 0 (the
     model's prepare_entity_sharding does this).
+
+    With ``use_pallas`` each block's aggregation runs through the MXU CSR
+    segment-sum kernel instead of XLA's scatter lowering (the path measured
+    −25% single-chip, BENCH_NOTES): a block is an increasing subset of a
+    dst-sorted slice, so its compressed dst ids are non-decreasing and the
+    per-block ``indptr``/src-sorted metadata precomputed by
+    :func:`build_boundary_plan` drive exactly the single-chip custom-VJP
+    schedule (edge_parallel.make_local_agg) per block — forward sum and the
+    backward d_x both on the kernel, d_rel via the one-hot MXU matmul.
     """
     g_size = mesh.shape[GRAPH_AXIS]
     n_pad = -(-n_ent // g_size) * g_size
@@ -278,10 +342,25 @@ def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
     rep = P()
     row = P(GRAPH_AXIS)
 
+    local_agg = None
+    if use_pallas:
+        if compose is not None:
+            raise ValueError("the boundary kernel path composes "
+                             "multiplicatively; custom compose needs "
+                             "use_pallas=False")
+        from kgc_gcn_tpu.parallel.edge_parallel import make_local_agg
+        local_agg = make_local_agg(d_max, msg_dtype, interpret)
+    if compose is None:
+        from kgc_gcn_tpu.parallel.edge_parallel import mult_compose
+        compose = mult_compose
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(row, rep, edge, edge, edge, row),
         out_specs=row,
+        # pallas_call's out_shape carries no vma annotation — the kernel
+        # path needs the classic (unchecked) shard_map semantics
+        check_vma=not use_pallas,
     )
     def _agg(x_local, rel_all, etab, rel, norm, pl: BoundaryPlan):
         d = x_local.shape[1]
@@ -296,20 +375,40 @@ def make_boundary_aggregate(mesh: Mesh, n_ent: int, plan: BoundaryPlan):
 
         def block(blk, blk_mask, loc, xbuf):
             e = blk[0]
-            msg = (xbuf[loc[0]] * rel_all[rel[e]] * etab[e]
-                   * (norm[e] * blk_mask[0])[:, None])
+            msg = compose(xbuf[loc[0]], rel_all, rel[e], etab[e],
+                          norm[e] * blk_mask[0])
             return jax.ops.segment_sum(
                 msg, pl.dst_loc[0][e], num_segments=d_max,
                 indices_are_sorted=True)
 
-        acc = block(pl.blk0, pl.blk0_mask, pl.loc0, x_local)
-        for j in range(len(t_steps)):
-            acc = acc + block(pl.blk_t[j], pl.blk_mask_t[j], pl.loc_t[j],
-                              bufs[j])
+        def block_pallas(blk, blk_mask, loc, seg, indptr, sperm, sloc,
+                         s_indptr, xbuf):
+            e = blk[0]
+            return local_agg(
+                d, xbuf, rel_all, etab[e], loc[0], seg[0], rel[e],
+                norm[e] * blk_mask[0], indptr[0], sperm[0], sloc[0],
+                s_indptr[0], None)
+
+        if use_pallas:
+            acc = block_pallas(pl.blk0, pl.blk0_mask, pl.loc0, pl.seg0,
+                               pl.indptr0, pl.sperm0, pl.sloc0, pl.s_indptr0,
+                               x_local)
+            for j in range(len(t_steps)):
+                acc = acc + block_pallas(
+                    pl.blk_t[j], pl.blk_mask_t[j], pl.loc_t[j], pl.seg_t[j],
+                    pl.indptr_t[j], pl.sperm_t[j], pl.sloc_t[j],
+                    pl.s_indptr_t[j], bufs[j])
+        else:
+            acc = block(pl.blk0, pl.blk0_mask, pl.loc0, x_local)
+            for j in range(len(t_steps)):
+                acc = acc + block(pl.blk_t[j], pl.blk_mask_t[j], pl.loc_t[j],
+                                  bufs[j])
 
         # route the compressed accumulator rows to their owner shards
-        out = jax.lax.pcast(jnp.zeros((rows_per, d), acc.dtype),
-                            (GRAPH_AXIS,), to="varying")
+        # (width follows the compose output — e.g. RGCN's B*d_in expansion)
+        out = jnp.zeros((rows_per, acc.shape[1]), acc.dtype)
+        if not use_pallas:   # vma tracking is off on the kernel path
+            out = jax.lax.pcast(out, (GRAPH_AXIS,), to="varying")
         out = out.at[pl.self_dst[0]].add(
             acc[pl.self_pos[0]] * pl.self_mask[0][:, None])
         for j, k in enumerate(k_steps):

@@ -33,6 +33,16 @@ from kgc_gcn_tpu.data.graph import GraphHalf
 from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
 
 
+def mult_compose(x_rows, rel_all, rel_ids, et_rows, norm):
+    """The MGCN/CompGCN multiplicative message (reference model.py:111-118):
+    the default ``compose`` for every sharded schedule.  Schedules accept any
+    ``compose(x_rows (E, d_in), rel_all (replicated table), rel_ids (E,),
+    et_rows (E, d_et), norm (E,)) -> (E, d_msg)`` — e.g. RGCN's basis
+    expansion (models/rgcn.py) — so one exchange implementation serves every
+    model family whose aggregation is gather→compose→segment-sum."""
+    return (x_rows * rel_all[rel_ids] * et_rows) * norm[:, None]
+
+
 def make_sharded_aggregate(mesh: Mesh, n_ent: int):
     """Build the shard_map'd aggregation for one direction half.
 
@@ -236,7 +246,7 @@ def make_pallas_sharded_aggregate(mesh: Mesh, n_ent: int, interpret: bool,
     return agg
 
 
-def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int):
+def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int, compose=None):
     """Aggregation with the ENTITY state sharded too (graphs whose (N, d)
     activations/embeddings exceed one chip's HBM — the scaling axis the
     reference caps at single-GPU memory, SURVEY.md §5.7).
@@ -259,6 +269,8 @@ def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int):
     """
     g_size = mesh.shape[GRAPH_AXIS]
     n_pad = -(-n_ent // g_size) * g_size
+    if compose is None:
+        compose = mult_compose
 
     edge = P(GRAPH_AXIS)
     rep = P()
@@ -271,7 +283,7 @@ def make_entity_sharded_aggregate(mesh: Mesh, n_ent: int):
     )
     def _agg(x_local, rel_all, etab, src, dst, rel, norm):
         x = jax.lax.all_gather(x_local, GRAPH_AXIS, tiled=True)   # (N_pad, d)
-        msg = (x[src] * rel_all[rel] * etab) * norm[:, None]
+        msg = compose(x[src], rel_all, rel, etab, norm)
         local = jax.ops.segment_sum(
             msg, dst, num_segments=n_pad, indices_are_sorted=True)
         return jax.lax.psum_scatter(
@@ -392,7 +404,7 @@ def build_ring_blocks(half: GraphHalf, g_size: int, n_pad: int):
     return jnp.asarray(blocks), jnp.asarray(mask)
 
 
-def make_ring_aggregate(mesh: Mesh, n_ent: int):
+def make_ring_aggregate(mesh: Mesh, n_ent: int, compose=None):
     """Entity-sharded aggregation WITHOUT the gathered-x buffer: a ring
     exchange of entity shards overlapped with per-shard partial aggregation
     (the graph analog of ring attention; SURVEY.md §5.7, §7 'hard parts').
@@ -413,6 +425,8 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
     n_pad = -(-n_ent // g_size) * g_size
     rows_per = n_pad // g_size
     ring = [(j, (j + 1) % g_size) for j in range(g_size)]
+    if compose is None:
+        compose = mult_compose
 
     edge = P(GRAPH_AXIS)
     rep = P()
@@ -426,7 +440,14 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
     def _agg(x_local, rel_all, etab, src, dst, rel, norm, blocks, mask):
         blocks, mask = blocks[0], mask[0]            # (G, B), (G, B)
         i = jax.lax.axis_index(GRAPH_AXIS)
-        d = x_local.shape[1]
+        # accumulator width = the COMPOSE's output width (differs from d_in
+        # for e.g. RGCN's (E, B*d_in) basis expansion)
+        d = jax.eval_shape(
+            compose, jax.ShapeDtypeStruct((1, x_local.shape[1]),
+                                          x_local.dtype),
+            rel_all, jnp.zeros((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, etab.shape[1]), etab.dtype),
+            jnp.zeros((1,), norm.dtype)).shape[1]
 
         # lax.scan (NOT fori_loop) so the schedule is reverse-differentiable:
         # training gradients flow back through the ring (ppermute transposes
@@ -437,9 +458,9 @@ def make_ring_aggregate(mesh: Mesh, n_ent: int):
             idx = jnp.take(blocks, s, axis=0)        # (B,) local edge ids
             m = jnp.take(mask, s, axis=0)
             xr = x_buf[jnp.take(src, idx) - s * rows_per]
-            msg = (xr * rel_all[jnp.take(rel, idx)]
-                   * jnp.take(etab, idx, axis=0))
-            msg = msg * (jnp.take(norm, idx) * m)[:, None]
+            msg = compose(xr, rel_all, jnp.take(rel, idx),
+                          jnp.take(etab, idx, axis=0),
+                          jnp.take(norm, idx) * m)
             acc = acc + jax.ops.segment_sum(
                 msg, jnp.take(dst, idx), num_segments=n_pad,
                 indices_are_sorted=True)

@@ -73,13 +73,22 @@ def build(overrides):
         "onehot_limit", os.environ.get("KGC_ONEHOT_LIMIT", 256 * 1024 * 1024)))
     sp.BF16_CAST = kw.pop(
         "bf16_cast", os.environ.get("KGC_BF16_CAST", "pre"))
+    sp.ATTN_MAX = kw.pop(
+        "attn_max", os.environ.get("KGC_ATTN_MAX", "pallas"))
+    sp.SPERM_BARRIER = str(kw.pop(
+        "sperm_barrier",
+        os.environ.get("KGC_SPERM_BARRIER", "0"))) == "1"
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = make_optimizer(cfg).init(params)
     queries = tri[:, :2].astype(np.int32)
     bank = make_query_bank(queries, [[int(o)] for o in tri[:, 2]], n_ent)
-    trainer = Trainer(cfg, model, graph, {"train": bank})
+    if cfg.train_mode == "negative_sampling":
+        from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+        trainer = NegativeSamplingTrainer(cfg, model, graph, {"train": bank})
+    else:
+        trainer = Trainer(cfg, model, graph, {"train": bank})
     return (trainer, graph, bank, params, state, opt_state,
             jnp.float32(cfg.learning_rate), rng, n_edge, batch)
 
@@ -90,13 +99,25 @@ def run(name, overrides, steps=50, reps=3):
     from kgc_gcn_tpu.train.loop import root_key
     (trainer, graph, bank, p, s, o, lr, rng, n_edge, batch) = build(overrides)
 
-    def go(p, s, o, seed):
-        idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)
-        mask = np.ones((steps, batch), np.float32)
-        p, s, o, loss = trainer._train_epoch_jit(
-            p, s, o, graph, root_key(trainer.cfg, seed), lr,
-            jnp.asarray(idx), jnp.asarray(mask), bank.queries, bank.label_idx)
-        return p, s, o, float(loss.mean())
+    if trainer.cfg.train_mode == "negative_sampling":
+        def go(p, s, o, seed):
+            idx = rng.integers(2 * n_edge, size=(steps, batch)).astype(
+                np.int32)
+            mask = np.ones((steps, batch), np.float32)
+            p, s, o, loss = trainer._neg_epoch_jit(
+                p, s, o, graph, trainer.pos_triples,
+                root_key(trainer.cfg, seed), lr,
+                jnp.asarray(idx), jnp.asarray(mask))
+            return p, s, o, float(loss.mean())
+    else:
+        def go(p, s, o, seed):
+            idx = rng.integers(n_edge, size=(steps, batch)).astype(np.int32)
+            mask = np.ones((steps, batch), np.float32)
+            p, s, o, loss = trainer._train_epoch_jit(
+                p, s, o, graph, root_key(trainer.cfg, seed), lr,
+                jnp.asarray(idx), jnp.asarray(mask), bank.queries,
+                bank.label_idx)
+            return p, s, o, float(loss.mean())
 
     p, s, o, _ = go(p, s, o, 1)
     times, loss = [], 0.0

@@ -40,7 +40,7 @@ def main(mode="pallas"):
     bf16 = mode.endswith("_bf16")
     if bf16:
         mode = mode[:-5]
-    if mode.startswith("fb15k"):
+    if mode.startswith("fb15k") or mode == "rgcn":
         n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
     else:
         n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
@@ -54,7 +54,9 @@ def main(mode="pallas"):
 
     # pin the dtypes: trace-mode names must mean the same config regardless
     # of preset evolution (FB15k-237 defaults to bf16 since round 3)
-    cfg = dataset_preset("FB15k-237" if mode.startswith("fb15k") else "WN18RR",
+    cfg = dataset_preset("FB15k-237"
+                         if (mode.startswith("fb15k") or mode == "rgcn")
+                         else "WN18RR",
                          batch_size=batch, use_pallas=False,
                          compute_dtype="float32", moment_dtype="float32")
     if mode in ("pallas", "fb15k"):
@@ -63,6 +65,14 @@ def main(mode="pallas"):
         cfg = cfg.replace(use_pallas=True, spmm_mode="stacked_xla")
     elif mode == "rgat":
         cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4)
+    elif mode == "rgat_pallas":
+        # matches bench.py rgat_pallas (the round-3 34.9 steps/s config)
+        cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          use_pallas=True)
+    elif mode == "rgcn":
+        # matches bench.py rgcn (BASELINE.json config 3)
+        cfg = cfg.replace(model="rgcn", decoder="distmult", num_bases=30,
+                          train_mode="negative_sampling", num_negatives=64)
     elif mode == "eval":
         cfg = cfg.replace(use_pallas=True)   # matches bench.py eval mode
     if bf16:
@@ -75,7 +85,11 @@ def main(mode="pallas"):
     queries = tri[:, :2].astype(np.int32)
     labels = [[int(o)] for o in tri[:, 2]]
     bank = make_query_bank(queries, labels, n_ent)
-    trainer = Trainer(cfg, model, graph, {"train": bank})
+    if cfg.train_mode == "negative_sampling":
+        from kgc_gcn_tpu.train.negative import NegativeSamplingTrainer
+        trainer = NegativeSamplingTrainer(cfg, model, graph, {"train": bank})
+    else:
+        trainer = Trainer(cfg, model, graph, {"train": bank})
     lr = jnp.float32(cfg.learning_rate)
 
     idx = jnp.asarray(rng.integers(n_edge, size=(STEPS, batch)).astype(np.int32))
@@ -96,6 +110,15 @@ def main(mode="pallas"):
                 p, s, graph, eidx, emask, ebank.queries[:n_q],
                 ebank.label_idx[:n_q])
             return p, s, o, float(sums["count"])
+    elif cfg.train_mode == "negative_sampling":
+        nidx = jnp.asarray(rng.integers(
+            2 * n_edge, size=(STEPS, batch)).astype(np.int32))
+
+        def run(p, s, o, seed):
+            p, s, o, loss = trainer._neg_epoch_jit(
+                p, s, o, graph, trainer.pos_triples, root_key(cfg, seed), lr,
+                nidx, mask)
+            return p, s, o, float(loss.mean())
     else:
         def run(p, s, o, seed):
             p, s, o, loss = trainer._train_epoch_jit(

@@ -156,3 +156,63 @@ def test_boundary_plan_scales_with_boundary_not_n(eight_devices):
 
     assert shipped(g_local) < shipped(g_rand) / 4, (
         shipped(g_local), shipped(g_rand))
+
+
+def test_boundary_aggregate_pallas_matches_xla(toy, eight_devices):
+    """The kernel path (per-block MXU CSR segment-sum via the plan's
+    indptr/src-sorted metadata) == the XLA boundary path == the dense
+    schedule, forward and d_x/d_etab/d_rel gradients."""
+    from kgc_gcn_tpu.ops.scatter import aggregate_half
+
+    ds, g, banks = toy
+    rng = np.random.default_rng(33)
+    d = 8
+    mesh = make_mesh(data=1, graph=8)
+    n_pad = -(-ds.num_entity // 8) * 8
+
+    x = rng.normal(size=(ds.num_entity, d)).astype(np.float32)
+    xp = np.zeros((n_pad, d), np.float32)
+    xp[: ds.num_entity] = x
+    rel = jnp.asarray(rng.normal(
+        size=(2 * ds.num_relation + 1, d)).astype(np.float32))
+
+    with mesh:
+        gs = shard_graph(g, mesh)
+        row = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(GRAPH_AXIS))
+        xs = jax.device_put(xp, row)
+        for half_name in ("inb", "outb"):
+            half, half_s = getattr(g, half_name), getattr(gs, half_name)
+            et = jnp.asarray(rng.normal(size=(g.e_pad, d)).astype(np.float32))
+            plan, _ = build_boundary_plan(half, 8, n_pad)
+            placed = _placed_plan(mesh, plan)
+            agg_k = make_boundary_aggregate(
+                mesh, ds.num_entity, placed, use_pallas=True, interpret=True)
+            ets = jax.device_put(et, row)
+
+            out = agg_k(xs, rel, ets, half_s)
+            expect = aggregate_half(jnp.asarray(x), rel, et, half,
+                                    ds.num_entity)
+            np.testing.assert_allclose(
+                np.asarray(out)[: ds.num_entity], np.asarray(expect),
+                rtol=1e-5, atol=1e-5, err_msg=half_name)
+
+            def loss_k(xv, rv, etv):
+                return jnp.sum(agg_k(xv, rv, etv, half_s) ** 2)
+
+            def loss_d(xv, rv, etv):
+                return jnp.sum(jnp.pad(
+                    aggregate_half(xv, rv, etv, half, ds.num_entity),
+                    ((0, n_pad - ds.num_entity), (0, 0))) ** 2)
+
+            gk = jax.grad(loss_k, argnums=(0, 1, 2))(xs, rel, ets)
+            gd = jax.grad(loss_d, argnums=(0, 1, 2))(jnp.asarray(x), rel, et)
+            np.testing.assert_allclose(
+                np.asarray(gk[0])[: ds.num_entity], np.asarray(gd[0]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{half_name} d_x")
+            np.testing.assert_allclose(
+                np.asarray(gk[1]), np.asarray(gd[1]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{half_name} d_rel")
+            np.testing.assert_allclose(
+                np.asarray(gk[2]), np.asarray(gd[2]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{half_name} d_etab")

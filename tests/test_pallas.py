@@ -425,3 +425,50 @@ def test_aggregate_half_pallas_bf16_cast_post(toy, monkeypatch):
     err_post = float(jnp.abs(g_post[0] - g32[0]).max())
     err_pre = float(jnp.abs(g_pre[0] - g32[0]).max())
     assert err_post <= err_pre + 1e-6, (err_post, err_pre)
+
+
+def test_segment_max_sorted_matches_xla():
+    """CSR max kernel vs jax.ops.segment_max: empty segments (-inf identity),
+    a hub row spanning multiple TILE_E chunks, -inf masked edges, and narrow
+    head counts that need sublane padding."""
+    from kgc_gcn_tpu.ops.spmm_pallas import segment_max_sorted
+    rng = np.random.default_rng(3)
+    n, h = 40, 4
+    dst = np.sort(np.concatenate([
+        np.full(700, 7), rng.integers(8, n, size=300)])).astype(np.int32)
+    e = len(dst)
+    indptr = np.zeros(n + 1, np.int32)
+    indptr[1:] = np.cumsum(np.bincount(dst, minlength=n))
+    logits = rng.normal(size=(e, h)).astype(np.float32)
+    # a fully-masked segment (all its edges -inf, like RGAT padding edges)
+    logits[dst == 9] = -np.inf
+    out = segment_max_sorted(jnp.asarray(logits), jnp.asarray(dst),
+                             jnp.asarray(indptr), n,
+                             interpret=_interp())
+    expect = jax.ops.segment_max(jnp.asarray(logits), jnp.asarray(dst),
+                                 num_segments=n, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.isneginf(np.asarray(out[:4])))   # empty segments
+
+
+def test_rgat_segment_softmax_kernel_max_path(toy, monkeypatch):
+    """segment_softmax with the kernel max equals the XLA-max path exactly
+    (the max only shifts; the softmax value is invariant)."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    from kgc_gcn_tpu.models.rgat import segment_softmax
+    ds, g, _ = toy
+    rng = np.random.default_rng(4)
+    e = int(g.inb.src.shape[0])
+    logits = jnp.asarray(rng.normal(size=(e, 4)).astype(np.float32))
+    logits = jnp.where(g.inb.norm[:, None] > 0, logits, -jnp.inf)
+    monkeypatch.setattr(sp, "ATTN_MAX", "xla")
+    ref = segment_softmax(logits, g.inb.dst, ds.num_entity,
+                          indptr=g.inb.indptr, use_pallas=True,
+                          interpret=_interp())
+    monkeypatch.setattr(sp, "ATTN_MAX", "pallas")
+    ours = segment_softmax(logits, g.inb.dst, ds.num_entity,
+                           indptr=g.inb.indptr, use_pallas=True,
+                           interpret=_interp())
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

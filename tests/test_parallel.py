@@ -276,18 +276,19 @@ def test_sharded_eval_matches_single_device(toy, toy_cfg, eight_devices):
 
 
 @pytest.mark.parametrize("schedule",
-                         ["gather", "ring", "boundary", "gather+pallas"])
+                         ["gather", "ring", "boundary", "gather+pallas",
+                          "boundary+pallas"])
 def test_entity_sharded_train_step_matches_single_device(
         toy, toy_cfg, eight_devices, schedule):
     """PRODUCT-grade entity sharding: a full train step (fwd + loss + bwd +
     clip + Adam) through cfg.entity_sharded == the single-device step —
     selected purely by flags.  Covers the shard_map schedules' gradients
     (ring: ppermute/scan transposes) AND BatchNorm statistics under the
-    sharded entity axis (the SURVEY §7 hard part).  'gather+pallas' runs the
-    gather schedule with the per-shard MXU kernel as the local segment-sum
-    (both scaling axes on the kernel path)."""
-    use_pallas = schedule == "gather+pallas"
-    schedule = "gather" if use_pallas else schedule
+    sharded entity axis (the SURVEY §7 hard part).  '<schedule>+pallas' runs
+    that schedule with the per-shard/per-block MXU kernels as the local
+    segment-sums (both scaling axes on the kernel path)."""
+    use_pallas = schedule.endswith("+pallas")
+    schedule = schedule.removesuffix("+pallas")
     ds, g, banks, cfg, model, params, state, opt_state = _setup(toy, toy_cfg)
     cfg = cfg.replace(use_pallas=use_pallas)
     if use_pallas:   # rebuild the single-device reference on the pallas path
@@ -593,3 +594,104 @@ def test_per_relation_eval_matches_single_device(toy, toy_cfg, eight_devices):
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(single[k]),
             rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize("schedule", ["gather", "ring", "boundary"])
+def test_rgcn_entity_sharded_step_matches_single_device(
+        toy, toy_cfg, eight_devices, schedule):
+    """RGCN (basis) through the SHARED entity-sharding schedules
+    (parallel/entity_sharding.py + models/rgcn.basis_compose): a full train
+    step under every exchange schedule == the single-device step.  The
+    compose's (E, B*d_in) width exercises the schedules' width-generic
+    paths (ring accumulator sizing, boundary output routing)."""
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=3,
+                          batch_size=8)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(cfg).init(params)
+    batch = 8
+    host = jax.tree.map(np.asarray, (params, state, opt_state))
+
+    t1 = Trainer(cfg, model, g, banks)
+    p1, s1, o1, l1 = _one_step(t1, params, state, opt_state, g,
+                               banks["train"], batch)
+
+    params, state, opt_state = jax.tree.map(jnp.asarray, host)
+    mesh = make_mesh(data=2, graph=4)
+    cfg2 = cfg.replace(entity_sharded=schedule, data_axis=2, graph_axis=4)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation,
+                         ds.num_edge, e_pad=g.e_pad, mesh=mesh)
+    with mesh:
+        gs = shard_graph(g, mesh)
+        ps = shard_params(params, mesh)
+        ss = shard_params(state, mesh)
+        os_ = shard_params(opt_state, mesh)
+        bsp = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        t2 = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+        p2, s2, o2, l2 = _one_step(
+            t2, ps, ss, os_, gs, banks["train"], batch,
+            put=lambda x: jax.device_put(x, bsp))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves((p1, s1)), jax.tree.leaves((p2, s2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
+
+
+def test_rgat_entity_sharded_fails_fast():
+    """The RGAT × entity_sharded design-note fail-fast (models/__init__.py):
+    a silently per-shard-renormalized softmax would be WRONG, so the factory
+    must refuse."""
+    from kgc_gcn_tpu.config import dataset_preset
+    cfg = dataset_preset("Toy", model="rgat", decoder="distmult",
+                         entity_sharded="gather", graph_axis=8)
+    mesh = make_mesh(data=1, graph=8)
+    with pytest.raises(ValueError, match="two-pass"):
+        build_model(cfg, 12, 4, 40, mesh=mesh)
+
+
+def test_rgat_pallas_sharded_epoch_matches_single_device(
+        toy, toy_cfg, eight_devices):
+    """RGAT's per-shard attention kernels under the edge partition
+    (models/rgat._make_sharded_attend: local CSR kernels + pmax/psum at the
+    segment reductions) == the single-chip kernel path — full scanned epoch,
+    params compared after Adam."""
+    from kgc_gcn_tpu.data.graph import build_graph
+
+    ds, _, banks = toy
+    g0 = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                     pad_to=512)   # 8-way divisible edge padding
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          batch_size=4, use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g0.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg).init(params)
+    host = lambda t: jax.tree.map(np.asarray, t)
+    params_h, state_h, opt_h = host(params), host(state), host(opt)
+    dev = lambda t: jax.tree.map(jnp.asarray, t)
+
+    t0 = Trainer(cfg, model, g0, banks)
+    p1, *_, loss1 = t0.train_epoch(
+        dev(params_h), dev(state_h), dev(opt_h), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    cfg2 = cfg.replace(data_axis=2, graph_axis=4)
+    mesh = make_mesh(2, 4)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation, ds.num_edge,
+                         e_pad=g0.e_pad, mesh=mesh)
+    gs = shard_graph(g0, mesh)
+    tm = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+    assert model2._edge_csr is not None   # the kernel path is ACTUALLY on
+    p2, *_, loss2 = tm.train_epoch(
+        shard_params(dev(params_h), mesh), shard_params(dev(state_h), mesh),
+        shard_params(dev(opt_h), mesh), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-4
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)

@@ -149,10 +149,10 @@ def test_rgat_negative_sampling_smoke(toy, toy_cfg):
 
 
 def test_rgat_pallas_path_matches_xla(toy, toy_cfg):
-    """use_pallas routes the attention-weighted aggregation and its
-    d_h/d_rel_mult cotangents through the MXU CSR kernel
-    (ops/spmm_pallas.attn_aggregate_pallas, interpret mode on CPU) — full
-    train step must equal the XLA segment-sum path."""
+    """use_pallas routes the shared edge message (edge_compose), the
+    weighted aggregation, the softmax reductions, and all their cotangents
+    through the MXU CSR kernels (interpret mode on CPU) — full train step
+    must equal the XLA segment-sum path."""
     ds, g, banks = toy
     base = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
                            batch_size=8)
@@ -177,16 +177,55 @@ def test_rgat_pallas_path_matches_xla(toy, toy_cfg):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
 
 
-def test_rgat_pallas_disabled_under_graph_axis(toy, toy_cfg):
-    """Under graph_axis > 1 the attention kernel cannot ride the edge
-    partition — the family must fall back to the XLA path with a warning."""
+def test_rgat_pallas_rides_graph_axis(toy, toy_cfg):
+    """Under graph_axis > 1 the attention kernels ride the edge partition
+    via per-shard shard_map (round-4; replaced the round-3 warn-disable):
+    prepare_edge_sharding must build the local-CSR kernel path, and the
+    single-chip flag stays on (the sharded path uses its own dispatch)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
-    from kgc_gcn_tpu.parallel.mesh import make_mesh
-    ds, g, banks = toy
+    from kgc_gcn_tpu.parallel.mesh import make_mesh, shard_graph
+    ds, g0, banks = toy
+    from kgc_gcn_tpu.data.graph import build_graph
+    g = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                    pad_to=512)
     cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
-                          use_pallas=True, graph_axis=4)
+                          use_pallas=True, graph_axis=4, data_axis=2)
     mesh = make_mesh(data=2, graph=4)
     model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
                         e_pad=g.e_pad, mesh=mesh)
-    assert model._use_pallas is False
+    assert model._use_pallas is True
+    model.prepare_edge_sharding(shard_graph(g, mesh))
+    assert model._edge_csr is not None
+    assert model._sharded_attend is not None
+
+
+def test_rgcn_pallas_basis_matches_xla(toy, toy_cfg):
+    """RGCN's use_pallas path (MXU CSR kernel on the (E, B*d_in) basis
+    expansion) == the XLA segment-sum path — full train step, params after
+    Adam."""
+    from kgc_gcn_tpu.train.optim import make_optimizer
+    from kgc_gcn_tpu.train.loop import Trainer
+    ds, g, banks = toy
+    base = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=3,
+                           batch_size=8)
+    results = {}
+    for up in (False, True):
+        cfg = base.replace(use_pallas=up)
+        model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                            e_pad=g.e_pad)
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt = make_optimizer(cfg).init(params)
+        t = Trainer(cfg, model, g, banks)
+        q = np.asarray(banks["train"].queries[:8])
+        lbl = np.asarray(banks["train"].label_idx[:8])
+        results[up] = t._train_step_jit(
+            params, state, opt, g, jnp.float32(1e-3), jnp.asarray(q),
+            jnp.asarray(lbl), jnp.ones((8,), np.float32),
+            jax.random.PRNGKey(3))
+    p0, _, _, l0 = results[False]
+    p1, _, _, l1 = results[True]
+    assert abs(float(l0) - float(l1)) < 1e-5
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
