@@ -24,7 +24,6 @@ TPU schedules (the interesting part — a naive per-edge ``W[rel_e]`` gather is
 from __future__ import annotations
 
 import dataclasses
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -69,27 +68,30 @@ def _basis_aggregate(
     n_ent: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    bwd_plan=None,
 ) -> jax.Array:
     """Basis-decomposed relational aggregation for one direction half.
 
-    With ``use_pallas`` the (E, B*d_in) weighted expansion aggregates
-    through the MXU CSR kernel (segment_sum_sorted — VMEM-adaptive edge
-    tiles for the wide message) instead of XLA's scatter lowering; the
-    wrapper's gather backward + elementwise product autodiff replace the
-    backward scatter.  The traffic (E*B*d_in both ways) is inherent to the
-    basis expansion; the kernel changes the scatter into MXU matmuls.
+    With ``use_pallas`` the aggregation runs the FUSED basis kernel
+    (ops/spmm_pallas.basis_aggregate_fused): the (E, B*d_in) weighted
+    expansion lives only in VMEM — the XLA path's forward was 69 ms/step
+    of scatter-add + 14.6 ms of materialized expansion at FB15k config 3
+    (round-4 trace) — and the backward's d_x/d_coeff scatters route
+    through the src-sorted CSR kernel / one-hot MXU matmul.
     """
-    a = layer.coeff[half.rel]                      # (E, B)
-    msg = x[half.src] * half.norm[:, None]         # (E, d_in)
-    # (E, B, d_in) weighted copies -> B segment sums; XLA fuses the broadcast.
-    weighted = msg[:, None, :] * a[:, :, None]
     if use_pallas:
-        from kgc_gcn_tpu.ops.spmm_pallas import segment_sum_sorted
-        e = weighted.shape[0]
-        agg = segment_sum_sorted(
-            weighted.reshape(e, -1), half.dst, half.indptr, n_ent,
-            interpret).reshape(n_ent, a.shape[1], -1)
+        from kgc_gcn_tpu.ops.spmm_pallas import basis_aggregate_fused
+        plan, plan_meta = bwd_plan if bwd_plan is not None else (None, None)
+        agg = basis_aggregate_fused(
+            x, layer.coeff, half.src, half.dst, half.rel, half.norm,
+            half.indptr, half.sperm, half.s_indptr, half.s_src,
+            (half.rperm, half.r_indptr, half.r_rel), plan,
+            n_ent, layer.coeff.shape[1], interpret, plan_meta)  # (N, B, d)
     else:
+        a = layer.coeff[half.rel]                  # (E, B)
+        msg = x[half.src] * half.norm[:, None]     # (E, d_in)
+        # (E, B, d_in) weighted copies -> B segment sums (XLA scatter)
+        weighted = msg[:, None, :] * a[:, :, None]
         agg = jax.ops.segment_sum(
             weighted, half.dst, num_segments=n_ent, indices_are_sorted=True
         )                                          # (N, B, d_in)
@@ -171,6 +173,7 @@ class RGCN(DecoderFamilyMixin):
         self._dec_init, self._dec_apply = DECODERS[cfg.decoder]
         self._es = None        # built by prepare_entity_sharding
         self._es_ones = None   # (2, E_pad, 1) per-edge placeholder
+        self._bwd_plans = None  # built by prepare_kernels (basis bwd band)
         if cfg.entity_sharded != "none":
             if mesh is None:
                 raise ValueError(
@@ -187,6 +190,27 @@ class RGCN(DecoderFamilyMixin):
     def boundary_stats(self):
         """Comm-volume accounting per half (boundary schedule only)."""
         return self._es.boundary_stats if self._es is not None else None
+
+    def prepare_kernels(self, graph: Graph) -> None:
+        """Host-side backward-band layout for the basis kernel (must run
+        OUTSIDE jit — it reads the CSR pointers as numpy).  The Trainer
+        calls this; without it the kernel path falls back to the XLA
+        backward (correct, measured 103 ms/step slower at FB15k config 3).
+        Idempotent."""
+        if (self.mode != "basis" or not self.cfg.use_pallas
+                or self._bwd_plans is not None):
+            return
+        from kgc_gcn_tpu.ops.spmm_pallas import build_basis_bwd_plan
+        from kgc_gcn_tpu.parallel.distributed import host_array
+        plans = {}
+        for name in ("inb", "outb"):
+            half = getattr(graph, name)
+            (pad_map, inv_pos, chunk_bounds, n_tiles, tile_n,
+             tile_e) = build_basis_bwd_plan(
+                host_array(half.indptr), self.n_ent)
+            plans[name] = ((pad_map, inv_pos, chunk_bounds),
+                           (n_tiles, tile_n, tile_e))
+        self._bwd_plans = plans
 
     def prepare_entity_sharding(self, graph: Graph) -> None:
         """Entity-sharded schedules via the shared plumbing
@@ -269,8 +293,13 @@ class RGCN(DecoderFamilyMixin):
                 and (self.mesh is None
                      or self.mesh.shape.get("graph", 1) == 1)
             interp = up and jax.default_backend() != "tpu"
-            agg = functools.partial(_basis_aggregate, use_pallas=up,
-                                    interpret=interp)
+            plans = self._bwd_plans or {}
+
+            def agg(x_, layer_, half_, n_):
+                name = "inb" if half_ is graph.inb else "outb"
+                return _basis_aggregate(
+                    x_, layer_, half_, n_, use_pallas=up, interpret=interp,
+                    bwd_plan=plans.get(name))
         else:
             agg = _block_aggregate
         x = params.entity_embedding

@@ -850,6 +850,423 @@ def segment_max_sorted(logits: jax.Array, seg: jax.Array, indptr: jax.Array,
     return out[:n_rows, :h_orig]
 
 
+# ------------------------------------------------ fused basis-RGCN kernel
+
+def _basis_kernel(bounds_ref, msg_hbm, a_hbm, dst_hbm, out_ref,
+                  msg_vmem, a_vmem, dst_vmem, sems,
+                  *, tile_n, tile_e, n_b, d_pad):
+    """Fused basis-decomposed aggregation: out[n, b*d:(b+1)*d] =
+    Σ_{e: dst_e = n} a[e, b] * msg[e, :].
+
+    The naive schedule materializes the (E, B*d_in) weighted expansion to
+    HBM (3.3 GB per half per pass at FB15k config 3 — measured to LOSE even
+    on the MXU kernel, BENCH_NOTES round 4); here the expansion lives only
+    in VMEM: per chunk, scale the (tile_e, d) message block by each basis
+    coefficient column and accumulate through the dst one-hot MXU matmul
+    into that basis' slice of the (tile_n, B*d) output block.  HBM traffic
+    is E*(d + B) in, N*B*d out.
+    """
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    row0 = t * tile_n
+    a0 = pl.multiple_of((start // tile_e) * tile_e, tile_e)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    n_chunks = pl.cdiv(end - a0, tile_e)
+
+    def dmas(slot, ci):
+        e0 = pl.multiple_of(a0 + ci * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                msg_hbm.at[pl.ds(e0, tile_e), :], msg_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                a_hbm.at[pl.ds(e0, tile_e), :], a_vmem.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem.at[slot],
+                sems.at[slot, 2]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for cp in dmas(1 - slot, ci + 1):
+                cp.start()
+
+        for cp in dmas(slot, ci):
+            cp.wait()
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, tile_e), 0) + row0
+        dn = (((1,), (0,)), ((), ()))
+        onehot_t = (rows == dst_vmem[slot]).astype(jnp.bfloat16)
+        m = msg_vmem[slot]
+        a = a_vmem[slot]
+        for b in range(n_b):          # static: B is a config constant
+            sb = m * a[:, b:b + 1]
+            hi = sb.astype(jnp.bfloat16)
+            lo = (sb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:, b * d_pad:(b + 1) * d_pad] += (
+                jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
+                                      preferred_element_type=jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_b", "interpret"))
+def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
+                      interpret: bool = False):
+    """(E, d) messages + (E, B) coefficients + sorted dst ->
+    (n_rows, B*d_pad) f32 (caller reshapes/slices)."""
+    e_orig, d_orig = msg.shape
+    d_pad = -(-d_orig // 128) * 128
+    # out block (tile_n, B*d_pad) f32 must stay ~<=1 MiB of the 16 MiB
+    # scoped VMEM (plus per-b bf16 intermediates that scale with tile_e*d)
+    tile_n = TILE_N
+    while tile_n > 8 and tile_n * n_b * d_pad * 4 > 2**20:
+        tile_n //= 2
+    tile_e = min(TILE_E, 256)
+    e_total = -(-e_orig // tile_e) * tile_e
+    # Mosaic DMA slices must be 128-lane-aligned — pad the coefficient
+    # columns too (B=30 -> 128; the extra stream is ~100 MB/pass at FB15k,
+    # small next to the E*(d) message stream)
+    b_pad = -(-a.shape[1] // 128) * 128
+    if e_total != e_orig or d_pad != d_orig or b_pad != a.shape[1]:
+        msg = jnp.pad(msg, ((0, e_total - e_orig), (0, d_pad - d_orig)))
+        a = jnp.pad(a, ((0, e_total - e_orig), (0, b_pad - a.shape[1])))
+        dst = jnp.pad(dst, (0, e_total - e_orig),
+                      constant_values=np.int32(2**30))
+    n_tiles = -(-n_rows // tile_n)
+
+    tile_rows = jnp.minimum(np.arange(n_tiles + 1) * tile_n, n_rows)
+    bounds = indptr[tile_rows].astype(jnp.int32)
+
+    kernel = functools.partial(_basis_kernel, tile_n=tile_n, tile_e=tile_e,
+                               n_b=n_b, d_pad=d_pad)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # msg in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # coeff rows in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # dst ids in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_n, n_b * d_pad), lambda t, bounds: (t, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_e, d_pad), msg.dtype),
+                pltpu.VMEM((2, tile_e, b_pad), a.dtype),
+                pltpu.VMEM((2, 1, tile_e), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, n_b * d_pad),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bounds, msg, a, dst.reshape(1, -1))
+    return out[:n_rows]
+
+
+def build_basis_bwd_plan(indptr_np, n_rows: int,
+                         tile_n: int = 64, tile_e: int = 256):
+    """Host-side layout for the basis BACKWARD kernel (_basis_bwd_kernel).
+
+    The backward needs, per edge, the cotangent row ``g[dst_e]`` mixed over
+    bases — materializing it is a (E, B*d) large-source gather measured at
+    56 ms/step (+27 ms of retiling copies) at FB15k config 3.  The kernel
+    instead walks edges grouped by DESTINATION ROW TILE: each tile's g rows
+    are DMA'd once and every edge selects its row with a one-hot MXU matmul.
+    Race-free per-edge outputs need each tile to own EXCLUSIVE, aligned
+    output ranges, so edges are re-laid-out into per-tile ranges padded to
+    ``tile_e`` multiples:
+
+      * ``pad_map (E_pad2,)`` — padded position -> original edge index
+        (padding repeats the tile's first edge; those slots are never read
+        back),
+      * ``inv_pos (E,)`` — original edge -> padded position,
+      * ``chunk_bounds (n_tiles+1,)`` — each tile's first chunk id.
+
+    Everything depends only on the static CSR pointers — computed once per
+    (graph half, tile shape) by the model's ``prepare_kernels``.
+    """
+    ip = np.asarray(indptr_np).astype(np.int64)
+    n_tiles = -(-n_rows // tile_n)
+    counts, starts, ends = [], [], []
+    for t in range(n_tiles):
+        s = int(ip[t * tile_n])
+        e = int(ip[min((t + 1) * tile_n, n_rows)])
+        starts.append(s)
+        ends.append(e)
+        counts.append(-(-(e - s) // tile_e))
+    chunk_bounds = np.zeros(n_tiles + 1, np.int32)
+    chunk_bounds[1:] = np.cumsum(counts)
+    e_pad2 = int(chunk_bounds[-1]) * tile_e
+    pad_map = np.zeros(max(e_pad2, tile_e), np.int32)
+    inv_pos = np.zeros(int(ip[-1]) if len(ip) else 1, np.int32)
+    for t in range(n_tiles):
+        s, e = starts[t], ends[t]
+        o = int(chunk_bounds[t]) * tile_e
+        pad_map[o: o + counts[t] * tile_e] = s   # padding -> first edge
+        pad_map[o: o + (e - s)] = np.arange(s, e)
+        inv_pos[s:e] = o + np.arange(e - s)
+    return (jnp.asarray(pad_map), jnp.asarray(inv_pos),
+            jnp.asarray(chunk_bounds), n_tiles, tile_n, tile_e)
+
+
+def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
+                      dmsg_ref, da_ref,
+                      g_vmem, ghi_vmem, glo_vmem, msg_vmem, a_vmem,
+                      dst_vmem, dmsg_vmem, da_vmem, sems, osems,
+                      *, tile_n, tile_e, n_b, d_pad):
+    """Per destination-row tile: DMA the tile's (tile_n, B*d_pad) cotangent
+    rows once, then per edge chunk select rows via the one-hot MXU matmul
+    (``sel = onehot(dst) @ g_tile``, hi/lo bf16 for f32 accuracy) and emit
+
+      * ``d_msg = Σ_b sel_b * a_b``        (per-edge, (tile_e, d_pad))
+      * ``d_a[:, b] = Σ_d sel_b * msg``    (per-edge, per-basis)
+
+    to the tile's EXCLUSIVE padded output ranges (build_basis_bwd_plan).
+    """
+    t = pl.program_id(0)
+    c0 = bounds_ref[t]
+    c1 = bounds_ref[t + 1]
+    row0 = t * tile_n
+    n_chunks = c1 - c0
+
+    gcp = pltpu.make_async_copy(
+        g_hbm.at[pl.ds(pl.multiple_of(row0, tile_n), tile_n), :],
+        g_vmem, sems.at[0, 2])
+    gcp.start()
+
+    def dmas(slot, ci):
+        e0 = (c0 + ci) * tile_e
+        e0 = pl.multiple_of(e0, tile_e)
+        return (
+            pltpu.make_async_copy(
+                msgp_hbm.at[pl.ds(e0, tile_e), :], msg_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                ap_hbm.at[pl.ds(e0, tile_e), :], a_vmem.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                dstp_hbm.at[:, pl.ds(e0, tile_e)], dst_vmem.at[slot],
+                sems.at[slot, 3]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    gcp.wait()
+    ghi_vmem[:] = g_vmem[:].astype(jnp.bfloat16)
+    glo_vmem[:] = (g_vmem[:] - ghi_vmem[:].astype(jnp.float32)
+                   ).astype(jnp.bfloat16)
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for cp in dmas(1 - slot, ci + 1):
+                cp.start()
+
+        for cp in dmas(slot, ci):
+            cp.wait()
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, tile_e), 0) + row0
+        mine = (rows == dst_vmem[slot]).astype(jnp.bfloat16)  # (tile_n, E_t)
+        dn = (((0,), (0,)), ((), ()))    # contract the row dim -> (E_t, Bd)
+        sel = (jax.lax.dot_general(mine, ghi_vmem[:],
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(mine, glo_vmem[:],
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32))
+        a = a_vmem[slot]
+        m = msg_vmem[slot]
+        oslot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci >= 2)
+        def _():   # the slot's previous writes must land before reuse
+            pltpu.make_async_copy(dmsg_vmem.at[oslot], dmsg_vmem.at[oslot],
+                                  osems.at[oslot, 0]).wait()
+            pltpu.make_async_copy(da_vmem.at[oslot], da_vmem.at[oslot],
+                                  osems.at[oslot, 1]).wait()
+
+        acc = sel[:, 0:d_pad] * a[:, 0:1]
+        for b in range(1, n_b):
+            acc += sel[:, b * d_pad:(b + 1) * d_pad] * a[:, b:b + 1]
+        dmsg_vmem[oslot] = acc
+        da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
+        for b in range(n_b):
+            da_vmem[oslot, :, b:b + 1] = jnp.sum(
+                sel[:, b * d_pad:(b + 1) * d_pad] * m, axis=1, keepdims=True)
+
+        e0 = pl.multiple_of((c0 + ci) * tile_e, tile_e)
+        pltpu.make_async_copy(dmsg_vmem.at[oslot],
+                              dmsg_ref.at[pl.ds(e0, tile_e), :],
+                              osems.at[oslot, 0]).start()
+        pltpu.make_async_copy(da_vmem.at[oslot],
+                              da_ref.at[pl.ds(e0, tile_e), :],
+                              osems.at[oslot, 1]).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        last = jax.lax.rem(n_chunks - 1, 2)
+        pltpu.make_async_copy(dmsg_vmem.at[last], dmsg_vmem.at[last],
+                              osems.at[last, 0]).wait()
+        pltpu.make_async_copy(da_vmem.at[last], da_vmem.at[last],
+                              osems.at[last, 1]).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        prev = jax.lax.rem(n_chunks - 2, 2)
+        pltpu.make_async_copy(dmsg_vmem.at[prev], dmsg_vmem.at[prev],
+                              osems.at[prev, 0]).wait()
+        pltpu.make_async_copy(da_vmem.at[prev], da_vmem.at[prev],
+                              osems.at[prev, 1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_n", "tile_e",
+                                             "n_b", "interpret"))
+def _basis_bwd_call(g128, msgp, ap, dstp, chunk_bounds,
+                    n_tiles: int, tile_n: int, tile_e: int, n_b: int,
+                    interpret: bool = False):
+    """(n_tiles*tile_n, B*d_pad) padded cotangent rows + padded-edge-order
+    msg/a/dst -> (E_pad2, d_pad) d_msg and (E_pad2, 128) d_a (first n_b
+    columns real)."""
+    d_pad = msgp.shape[1]
+    e_pad2 = msgp.shape[0]
+    b128 = ap.shape[1]
+    dmsg, da = pl.pallas_call(
+        functools.partial(_basis_bwd_kernel, tile_n=tile_n, tile_e=tile_e,
+                          n_b=n_b, d_pad=d_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((tile_n, n_b * d_pad), jnp.float32),
+                pltpu.VMEM((tile_n, n_b * d_pad), jnp.bfloat16),
+                pltpu.VMEM((tile_n, n_b * d_pad), jnp.bfloat16),
+                pltpu.VMEM((2, tile_e, d_pad), jnp.float32),
+                pltpu.VMEM((2, tile_e, b128), jnp.float32),
+                pltpu.VMEM((2, 1, tile_e), jnp.int32),
+                pltpu.VMEM((2, tile_e, d_pad), jnp.float32),
+                pltpu.VMEM((2, tile_e, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad2, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad2, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(chunk_bounds, g128, msgp, ap, dstp)
+    return dmsg, da
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def basis_aggregate_fused(x, coeff, src, dst, rel, norm,
+                          indptr, sperm, s_indptr, s_src, rdata, plan,
+                          n_ent, n_b, interpret, plan_meta):
+    """agg[n, b, :] = Σ_{e: dst_e=n} coeff[rel_e, b] * norm_e * x[src_e]
+    with the (E, B*d_in) expansion never touching HBM in the FORWARD
+    (see _basis_kernel).  Returns (n_ent, B, d_in).
+
+    Backward: with ``plan`` (build_basis_bwd_plan arrays + its static
+    ``plan_meta``) the per-edge cotangent products run the dst-tile band
+    kernel (_basis_bwd_kernel) — the XLA fallback's (E, B*d) gather +
+    contractions measured 103 ms/step at FB15k config 3.  Either way d_x
+    routes through the src-sorted CSR kernel and d_coeff through the
+    one-hot MXU matmul (no XLA scatters).
+    """
+    del plan
+    d = x.shape[1]
+    msg = x[src] * norm[:, None]
+    a = coeff[rel]
+    out = _basis_fused_call(msg, a, dst, indptr, n_ent, n_b, interpret)
+    d_pad = -(-d // 128) * 128
+    return out.reshape(n_ent, n_b, d_pad)[:, :, :d]
+
+
+def _basis_agg_fwd(x, coeff, src, dst, rel, norm, indptr, sperm, s_indptr,
+                   s_src, rdata, plan, n_ent, n_b, interpret, plan_meta):
+    out = basis_aggregate_fused(x, coeff, src, dst, rel, norm, indptr,
+                                sperm, s_indptr, s_src, rdata, plan,
+                                n_ent, n_b, interpret, plan_meta)
+    return out, (x, coeff, src, dst, rel, norm, sperm, s_indptr, s_src,
+                 rdata, plan)
+
+
+def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
+    x, coeff, src, dst, rel, norm, sperm, s_indptr, s_src, rdata, plan = res
+    d = x.shape[1]
+    # pad the cotangent's feature dim to 128 FIRST: flat<->3D reshapes of a
+    # 128-aligned last dim are free, while reshaping (E, B*100) retiles and
+    # measured 27 ms/step of pure copies at FB15k config 3 (round-4 trace)
+    d_pad = -(-d // 128) * 128
+    g128 = jnp.pad(g, ((0, 0), (0, 0), (0, d_pad - d)))
+    if plan_meta is not None:
+        pad_map, inv_pos, chunk_bounds = plan
+        n_tiles, tile_n, tile_e = plan_meta
+        gflat = jnp.pad(g128.reshape(n_ent, n_b * d_pad),
+                        ((0, n_tiles * tile_n - n_ent), (0, 0)))
+        msgp = _pad_cols(x[src] * norm[:, None])[pad_map]
+        ap = _pad_cols(coeff[rel])[pad_map]
+        dstp = dst[pad_map].reshape(1, -1)
+        dmsg_pad, da_pad = _basis_bwd_call(
+            gflat, msgp, ap, dstp, chunk_bounds,
+            n_tiles, tile_n, tile_e, n_b, interpret)
+        d_msg_s = dmsg_pad[inv_pos[sperm]][:, :d]
+        contrib_s = d_msg_s * norm[sperm][:, None]
+        d_a = da_pad[inv_pos][:, :n_b]
+    else:
+        gd = g128.reshape(n_ent, n_b * d_pad)[dst].reshape(-1, n_b, d_pad)
+        a = coeff[rel]                                        # (E, B)
+        m = x[src]                                            # (E, d)
+        d_msg = jnp.einsum("ebd,eb->ed", gd, a,
+                           preferred_element_type=jnp.float32)[:, :d]
+        d_a = jnp.einsum("ebd,ed->eb", gd[:, :, :d], m * norm[:, None],
+                         preferred_element_type=jnp.float32)
+        contrib_s = (d_msg * norm[:, None])[sperm]
+    d_x = segment_sum_pallas(contrib_s, s_src, s_indptr, x.shape[0],
+                             interpret=interpret)[:, :d]
+    d_coeff = _segment_sum_few(d_a, rel, coeff.shape[0], rdata=rdata,
+                               interpret=interpret)[:, :n_b]
+    return (d_x, d_coeff) + (None,) * 10
+
+
+basis_aggregate_fused.defvjp(_basis_agg_fwd, _basis_agg_bwd)
+
+
 # ------------------------------------------ attention edge-message compose
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))

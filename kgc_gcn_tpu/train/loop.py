@@ -70,6 +70,10 @@ class Trainer:
             # per-shard CSR metadata so Pallas kernels ride the edge partition
             # (entity_sharded builds its own kernel schedule instead)
             model.prepare_edge_sharding(graph)
+        if hasattr(model, "prepare_kernels"):
+            # host-side kernel layout metadata (e.g. the RGCN basis backward
+            # band plan) — must be built outside jit from the static graph
+            model.prepare_kernels(graph)
 
         self._train_epoch_jit = jax.jit(
             self._train_epoch, donate_argnums=(0, 1, 2))

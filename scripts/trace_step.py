@@ -40,7 +40,7 @@ def main(mode="pallas"):
     bf16 = mode.endswith("_bf16")
     if bf16:
         mode = mode[:-5]
-    if mode.startswith("fb15k") or mode == "rgcn":
+    if mode.startswith(("fb15k", "rgcn")):
         n_ent, n_rel, n_edge, batch = 14541, 237, 272115, 128
     else:
         n_ent, n_rel, n_edge, batch = 40943, 11, 86835, 128
@@ -55,8 +55,7 @@ def main(mode="pallas"):
     # pin the dtypes: trace-mode names must mean the same config regardless
     # of preset evolution (FB15k-237 defaults to bf16 since round 3)
     cfg = dataset_preset("FB15k-237"
-                         if (mode.startswith("fb15k") or mode == "rgcn")
-                         else "WN18RR",
+                         if mode.startswith(("fb15k", "rgcn")) else "WN18RR",
                          batch_size=batch, use_pallas=False,
                          compute_dtype="float32", moment_dtype="float32")
     if mode in ("pallas", "fb15k"):
@@ -69,10 +68,11 @@ def main(mode="pallas"):
         # matches bench.py rgat_pallas (the round-3 34.9 steps/s config)
         cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4,
                           use_pallas=True)
-    elif mode == "rgcn":
-        # matches bench.py rgcn (BASELINE.json config 3)
+    elif mode in ("rgcn", "rgcn_pallas"):
+        # matches bench.py rgcn / rgcn_pallas (BASELINE.json config 3)
         cfg = cfg.replace(model="rgcn", decoder="distmult", num_bases=30,
-                          train_mode="negative_sampling", num_negatives=64)
+                          train_mode="negative_sampling", num_negatives=64,
+                          use_pallas=(mode == "rgcn_pallas"))
     elif mode == "eval":
         cfg = cfg.replace(use_pallas=True)   # matches bench.py eval mode
     if bf16:

@@ -472,3 +472,59 @@ def test_rgat_segment_softmax_kernel_max_path(toy, monkeypatch):
                            interpret=_interp())
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_basis_fused_band_backward_matches_fallback(toy):
+    """basis_aggregate_fused: the dst-tile band backward (plan path) ==
+    the XLA-contraction fallback (plan=None) == autodiff of the plain
+    segment-sum formulation — forward and d_x/d_coeff."""
+    from kgc_gcn_tpu.ops.spmm_pallas import (
+        basis_aggregate_fused, build_basis_bwd_plan)
+    ds, g, _ = toy
+    rng = np.random.default_rng(11)
+    d, nb = 8, 3
+    n = ds.num_entity
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    coeff = jnp.asarray(
+        rng.normal(size=(2 * ds.num_relation, nb)).astype(np.float32))
+    half = g.inb
+    plan = build_basis_bwd_plan(np.asarray(half.indptr), n)
+    w = jnp.asarray(rng.normal(size=(n, nb, d)).astype(np.float32))
+
+    def run(plan_arrays, plan_meta):
+        def f(xv, cv):
+            agg = basis_aggregate_fused(
+                xv, cv, half.src, half.dst, half.rel, half.norm,
+                half.indptr, half.sperm, half.s_indptr, half.s_src,
+                (half.rperm, half.r_indptr, half.r_rel), plan_arrays,
+                n, nb, True, plan_meta)
+            return jnp.sum(agg * w), agg
+        (_, agg), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(x, coeff)
+        return agg, grads
+
+    def oracle():
+        def f(xv, cv):
+            a = cv[half.rel]
+            msg = xv[half.src] * half.norm[:, None]
+            agg = jax.ops.segment_sum(
+                msg[:, None, :] * a[:, :, None], half.dst, num_segments=n,
+                indices_are_sorted=True)
+            return jnp.sum(agg * w), agg
+        (_, agg), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(x, coeff)
+        return agg, grads
+
+    agg_b, g_b = run(plan[:3], plan[3:])
+    agg_f, g_f = run(None, None)
+    agg_o, g_o = oracle()
+    for got, name in ((agg_b, "band agg"), (agg_f, "fallback agg")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(agg_o),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+    for got, ref, name in ((g_b, g_o, "band"), (g_f, g_o, "fallback")):
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{name} d_x")
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{name} d_coeff")
