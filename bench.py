@@ -44,9 +44,10 @@ config under the requested name):
   eval              filtered-ranking EVALUATION throughput (queries/s)
   multichip         edge-partition scaling-efficiency harness (subprocess)
   suite             every headline mode (pallas, best, fb15k_best,
-                    rgat_pallas, rgcn, eval) in sequential subprocesses —
-                    one JSON line each, so a driver capture holds ALL the
-                    advertised numbers, not just the default mode's
+                    rgat_pallas, rgcn_pallas, eval) in sequential
+                    subprocesses — one JSON line each, so a driver capture
+                    holds ALL the advertised numbers, not just the
+                    default mode's
 
 Unless ``KGC_COMPILE_CACHE_DIR`` is already set (empty disables), benches
 default it to /tmp/kgc_xla_cache: the persistent XLA compile cache works
@@ -67,7 +68,8 @@ VALID_MODES = frozenset((
     "rgcn_pallas", "eval", "multichip", "suite"))
 
 # the modes the repo advertises as records — what `suite` re-measures
-SUITE_MODES = ("pallas", "best", "fb15k_best", "rgat_pallas", "rgcn", "eval")
+SUITE_MODES = ("pallas", "best", "fb15k_best", "rgat_pallas", "rgcn_pallas",
+               "eval")
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.

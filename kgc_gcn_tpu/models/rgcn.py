@@ -201,16 +201,9 @@ class RGCN(DecoderFamilyMixin):
                 or self._bwd_plans is not None):
             return
         from kgc_gcn_tpu.ops.spmm_pallas import build_basis_bwd_plan
-        from kgc_gcn_tpu.parallel.distributed import host_array
-        plans = {}
-        for name in ("inb", "outb"):
-            half = getattr(graph, name)
-            (pad_map, inv_pos, chunk_bounds, n_tiles, tile_n,
-             tile_e) = build_basis_bwd_plan(
-                host_array(half.indptr), self.n_ent)
-            plans[name] = ((pad_map, inv_pos, chunk_bounds),
-                           (n_tiles, tile_n, tile_e))
-        self._bwd_plans = plans
+        self._bwd_plans = {
+            name: build_basis_bwd_plan(getattr(graph, name), self.n_ent)
+            for name in ("inb", "outb")}
 
     def prepare_entity_sharding(self, graph: Graph) -> None:
         """Entity-sharded schedules via the shared plumbing

@@ -985,7 +985,7 @@ def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
     return out[:n_rows]
 
 
-def build_basis_bwd_plan(indptr_np, n_rows: int,
+def build_basis_bwd_plan(half, n_rows: int,
                          tile_n: int = 64, tile_e: int = 256):
     """Host-side layout for the basis BACKWARD kernel (_basis_bwd_kernel).
 
@@ -998,16 +998,22 @@ def build_basis_bwd_plan(indptr_np, n_rows: int,
     output ranges, so edges are re-laid-out into per-tile ranges padded to
     ``tile_e`` multiples:
 
-      * ``pad_map (E_pad2,)`` — padded position -> original edge index
-        (padding repeats the tile's first edge; those slots are never read
-        back),
-      * ``inv_pos (E,)`` — original edge -> padded position,
-      * ``chunk_bounds (n_tiles+1,)`` — each tile's first chunk id.
-
-    Everything depends only on the static CSR pointers — computed once per
-    (graph half, tile shape) by the model's ``prepare_kernels``.
+    The padded-order OPERAND arrays are precomputed here too (src/rel/norm/
+    dst in padded order, a real-entry mask, and the src-sorted readback
+    permutation ``sperm_pad = inv_pos[sperm]``): gathering them at trace
+    time through a pad_map indirection would read (E, 128) LARGE-SOURCE
+    intermediates — measured 21.8 ms/step of gathers at FB15k config 3 —
+    while the precomputed layout gathers only from the small x/coeff
+    tables.  Everything depends only on the static graph half — computed
+    once by the model's ``prepare_kernels``.
     """
-    ip = np.asarray(indptr_np).astype(np.int64)
+    from kgc_gcn_tpu.parallel.distributed import host_array
+    ip = host_array(half.indptr).astype(np.int64)
+    src = host_array(half.src)
+    rel = host_array(half.rel)
+    norm = host_array(half.norm)
+    dst = host_array(half.dst)
+    sperm = host_array(half.sperm)
     n_tiles = -(-n_rows // tile_n)
     counts, starts, ends = [], [], []
     for t in range(n_tiles):
@@ -1020,15 +1026,26 @@ def build_basis_bwd_plan(indptr_np, n_rows: int,
     chunk_bounds[1:] = np.cumsum(counts)
     e_pad2 = int(chunk_bounds[-1]) * tile_e
     pad_map = np.zeros(max(e_pad2, tile_e), np.int32)
-    inv_pos = np.zeros(int(ip[-1]) if len(ip) else 1, np.int32)
+    maskp = np.zeros(max(e_pad2, tile_e), np.float32)
+    inv_pos = np.zeros(len(src), np.int32)
     for t in range(n_tiles):
         s, e = starts[t], ends[t]
         o = int(chunk_bounds[t]) * tile_e
         pad_map[o: o + counts[t] * tile_e] = s   # padding -> first edge
         pad_map[o: o + (e - s)] = np.arange(s, e)
+        maskp[o: o + (e - s)] = 1.0
         inv_pos[s:e] = o + np.arange(e - s)
-    return (jnp.asarray(pad_map), jnp.asarray(inv_pos),
-            jnp.asarray(chunk_bounds), n_tiles, tile_n, tile_e)
+    arrays = (
+        jnp.asarray(src[pad_map]),             # srcp
+        jnp.asarray(rel[pad_map]),             # relp
+        jnp.asarray(norm[pad_map]),            # normp
+        jnp.asarray(dst[pad_map].reshape(1, -1)),  # dstp (kernel row layout)
+        jnp.asarray(maskp),
+        jnp.asarray(inv_pos[sperm]),           # sperm_pad
+        jnp.asarray(norm[sperm]),              # s_normp
+        jnp.asarray(chunk_bounds),
+    )
+    return arrays, (n_tiles, tile_n, tile_e)
 
 
 def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
@@ -1235,19 +1252,28 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
     d_pad = -(-d // 128) * 128
     g128 = jnp.pad(g, ((0, 0), (0, 0), (0, d_pad - d)))
     if plan_meta is not None:
-        pad_map, inv_pos, chunk_bounds = plan
+        (srcp, relp, normp, dstp, maskp, sperm_pad, s_normp,
+         chunk_bounds) = plan
         n_tiles, tile_n, tile_e = plan_meta
         gflat = jnp.pad(g128.reshape(n_ent, n_b * d_pad),
                         ((0, n_tiles * tile_n - n_ent), (0, 0)))
-        msgp = _pad_cols(x[src] * norm[:, None])[pad_map]
-        ap = _pad_cols(coeff[rel])[pad_map]
-        dstp = dst[pad_map].reshape(1, -1)
+        # padded-order operands gather from the SMALL x/coeff tables (the
+        # pad_map indirection through (E, 128) intermediates measured
+        # 21.8 ms/step of large-source gathers)
+        msgp = _pad_cols(x[srcp] * normp[:, None])
+        ap = _pad_cols(coeff[relp])
         dmsg_pad, da_pad = _basis_bwd_call(
             gflat, msgp, ap, dstp, chunk_bounds,
             n_tiles, tile_n, tile_e, n_b, interpret)
-        d_msg_s = dmsg_pad[inv_pos[sperm]][:, :d]
-        contrib_s = d_msg_s * norm[sperm][:, None]
-        d_a = da_pad[inv_pos][:, :n_b]
+        contrib_s = dmsg_pad[sperm_pad][:, :d] * s_normp[:, None]
+        # d_coeff straight from the padded space: padding entries mask to
+        # zero, so no (E,) readback gather is needed
+        d_coeff = _segment_sum_few(
+            da_pad * maskp[:, None], relp, coeff.shape[0], rdata=None,
+            interpret=interpret)[:, :n_b]
+        d_x = segment_sum_pallas(contrib_s, s_src, s_indptr, x.shape[0],
+                                 interpret=interpret)[:, :d]
+        return (d_x, d_coeff) + (None,) * 10
     else:
         gd = g128.reshape(n_ent, n_b * d_pad)[dst].reshape(-1, n_b, d_pad)
         a = coeff[rel]                                        # (E, B)

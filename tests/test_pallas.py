@@ -488,7 +488,8 @@ def test_basis_fused_band_backward_matches_fallback(toy):
     coeff = jnp.asarray(
         rng.normal(size=(2 * ds.num_relation, nb)).astype(np.float32))
     half = g.inb
-    plan = build_basis_bwd_plan(np.asarray(half.indptr), n)
+    plan_arrays, plan_meta_ = build_basis_bwd_plan(half, n)
+    plan = plan_arrays + plan_meta_          # kept flat for the run() split
     w = jnp.asarray(rng.normal(size=(n, nb, d)).astype(np.float32))
 
     def run(plan_arrays, plan_meta):
@@ -515,7 +516,7 @@ def test_basis_fused_band_backward_matches_fallback(toy):
             f, argnums=(0, 1), has_aux=True)(x, coeff)
         return agg, grads
 
-    agg_b, g_b = run(plan[:3], plan[3:])
+    agg_b, g_b = run(plan_arrays, plan_meta_)
     agg_f, g_f = run(None, None)
     agg_o, g_o = oracle()
     for got, name in ((agg_b, "band agg"), (agg_f, "fallback agg")):
