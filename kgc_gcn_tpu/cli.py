@@ -253,7 +253,7 @@ def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
     otherwise silently train on the slow path (caught by the round-3 SYN
     soak trace: the epoch ran XLA scatter-adds)."""
     if (explicit is None and not cfg.use_pallas and backend == "tpu"
-            and cfg.model in ("mgcn", "rgat")
+            and cfg.model in ("mgcn", "rgat", "rgcn")
             and cfg.composition == "mult"
             and cfg.edge_sample_size == 0
             and cfg.agg_schedule == "fused"

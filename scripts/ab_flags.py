@@ -42,7 +42,16 @@ DEFAULT = [
 def run_one(name, flags, mode="fb15k"):
     env = dict(os.environ)
     if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+        # --xla_tpu_* flags CANNOT go through XLA_FLAGS here: the local CPU
+        # jaxlib parses XLA_FLAGS at startup and ABORTS on TPU-only flags
+        # ("Unknown flag in XLA_FLAGS", measured round 4).  LIBTPU_INIT_ARGS
+        # is the TPU-flag vehicle; whether it reaches the axon REMOTE
+        # compiler is exactly what the canary determines.
+        env["LIBTPU_INIT_ARGS"] = (
+            env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
+        # flag sets are NOT part of the compile-cache key — use a separate
+        # cache dir per flag set so a stale cache hit can't fake "no effect"
+        env["KGC_COMPILE_CACHE_DIR"] = "/tmp/kgc_xla_cache_" + name
     env.setdefault("KGC_COMPILE_CACHE_DIR", "/tmp/kgc_xla_cache")
     out = subprocess.run([sys.executable, BENCH, mode],
                          capture_output=True, text=True, env=env)

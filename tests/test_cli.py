@@ -209,10 +209,13 @@ def test_maybe_default_pallas_guards():
     assert not maybe_default_pallas(base, None, "cpu").use_pallas
     # kernel-incompatible configs are left alone
     for kw in (dict(composition="sub"), dict(edge_sample_size=8),
-               dict(model="rgcn"), dict(entity_sharded="ring", graph_axis=2),
+               dict(entity_sharded="ring", graph_axis=2),
                dict(agg_schedule="reference")):
         assert not maybe_default_pallas(
             base.replace(**kw), None, "tpu").use_pallas
+    # rgcn gained a kernel path in round 4 (fused basis kernels)
+    assert maybe_default_pallas(
+        base.replace(model="rgcn"), None, "tpu").use_pallas
     # presets that already decided are untouched
     fb = dataset_preset("FB15k-237")
     assert maybe_default_pallas(fb, None, "tpu") is fb
