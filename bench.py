@@ -67,9 +67,12 @@ VALID_MODES = frozenset((
     "fb15k", "fb15k_best", "fb15k_sx", "rgat", "rgat_pallas", "rgcn",
     "rgcn_pallas", "eval", "multichip", "suite"))
 
-# the modes the repo advertises as records — what `suite` re-measures
-SUITE_MODES = ("pallas", "best", "fb15k_best", "rgat_pallas", "rgcn_pallas",
-               "eval")
+# the modes the repo advertises as records — what `suite` re-measures.
+# fb15k_sx (the f32 FB15k record) and the rgat/rgcn XLA anchors are included
+# so a regression in the f32 record or a silent shrink of the kernel-vs-XLA
+# delta shows up in the driver artifact (round-4 verdict item 6).
+SUITE_MODES = ("pallas", "best", "fb15k_best", "fb15k_sx", "rgat",
+               "rgat_pallas", "rgcn", "rgcn_pallas", "eval")
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.

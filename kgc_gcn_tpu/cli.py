@@ -254,6 +254,9 @@ def maybe_default_pallas(cfg: Config, explicit, backend: str) -> Config:
     soak trace: the epoch ran XLA scatter-adds)."""
     if (explicit is None and not cfg.use_pallas and backend == "tpu"
             and cfg.model in ("mgcn", "rgat", "rgcn")
+            # rgcn block mode has no kernel path (encode ignores use_pallas)
+            # so auto-enabling would misreport the config as accelerated
+            and (cfg.model != "rgcn" or cfg.num_blocks == 0)
             and cfg.composition == "mult"
             and cfg.edge_sample_size == 0
             and cfg.agg_schedule == "fused"

@@ -251,6 +251,123 @@ def _make_sharded_attend(mesh, n_ent: int, nh: int, interpret: bool):
     return attend
 
 
+def _make_entity_sharded_attend(mesh, n_pad: int, nh: int, use_pallas: bool,
+                                interpret: bool):
+    """Entity-sharded (gather schedule) attention for one direction half —
+    the two-pass distributed segment softmax the round-4 design note
+    specified (models/__init__.py, now lifted for this schedule).
+
+    Layout: entity rows (h) row-sharded ``P(graph)`` over ``n_pad`` rows;
+    edge arrays + local CSR sharded along the edge partition as in
+    ``edge_parallel.make_entity_sharded_aggregate_pallas``.  Per device:
+
+      * ``all_gather(h)`` assembles the source/destination rows the local
+        edge slice reads (the gather schedule's one transient (N, d) buffer),
+      * local edge logits + a local segment-max, combined across shards with
+        ``pmax`` — pass one of the distributed softmax (dst segments that
+        straddle edge-shard boundaries meet exactly here),
+      * local exp-sum, combined with ``psum`` — pass two (the denominator),
+      * the weighted aggregation, reduced AND re-sharded with
+        ``psum_scatter`` so the persistent entity state stays 1/G per device.
+
+    Gradients: ``stop_gradient`` on the max (shift invariance — its true
+    gradient is zero), the collectives' transposes (psum^T = broadcast,
+    psum_scatter^T = all_gather, all_gather^T = psum_scatter), and on the
+    kernel path the Pallas custom VJPs per shard.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+
+    edge = P(GRAPH_AXIS)
+    rep = P()
+    row = P(GRAPH_AXIS)
+    shardwise = P(GRAPH_AXIS)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(row, rep, rep, rep, rep,
+                  edge, edge, edge, edge,
+                  shardwise, shardwise, shardwise, shardwise,
+                  shardwise, shardwise, shardwise),
+        out_specs=row,
+        check_vma=False,   # pallas out_shape carries no vma annotation
+    )
+    def _attend(h_local, rel_mult, att_src, att_dst, rel_bias,
+                src, dst, rel, norm,
+                indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr):
+        indptr, sperm, s_src, s_indptr = (indptr[0], sperm[0], s_src[0],
+                                          s_indptr[0])
+        rdata = (rperm[0], r_indptr[0], r_rel[0])
+        n_rel_rows = int(r_indptr.shape[1]) - 1
+        dh = h_local.shape[1] // nh
+        h = jax.lax.all_gather(h_local, GRAPH_AXIS, tiled=True)  # (n_pad, d)
+        # (n_pad, H) destination term recomputed from the gathered rows on
+        # every shard: an (N, H) einsum is cheaper than a second collective
+        score_dst = jnp.einsum("nhd,hd->nh", h.reshape(n_pad, nh, dh),
+                               att_dst, preferred_element_type=jnp.float32)
+        if use_pallas:
+            from kgc_gcn_tpu.ops.spmm_pallas import (
+                edge_compose, gather_rows_few, gather_rows_sorted,
+                segment_max_sorted, segment_sum_sorted)
+            z = edge_compose(h, rel_mult, src, rel, sperm, s_indptr, s_src,
+                             rdata, n_pad, interpret)
+            sd_e = gather_rows_sorted(score_dst, dst, indptr, n_pad,
+                                      interpret)
+            rb_e = gather_rows_few(rel_bias, rel, n_rel_rows, rdata,
+                                   interpret)
+        else:
+            z = h[src] * rel_mult[rel]
+            sd_e = score_dst[dst]
+            rb_e = rel_bias[rel]
+        zh = z.reshape(-1, nh, dh)
+        s = (jnp.einsum("ehd,hd->eh", zh, att_src,
+                        preferred_element_type=jnp.float32) + sd_e + rb_e)
+        s = jax.nn.leaky_relu(s, 0.2)
+        s = jnp.where(norm[:, None] > 0, s, -jnp.inf)
+        if use_pallas:
+            smax = segment_max_sorted(jax.lax.stop_gradient(s), dst, indptr,
+                                      n_pad, interpret)
+        else:
+            smax = jax.lax.stop_gradient(jax.ops.segment_max(
+                s, dst, num_segments=n_pad, indices_are_sorted=True))
+        smax = jax.lax.pmax(smax, GRAPH_AXIS)          # softmax pass one
+        smax_e = jnp.where(jnp.isfinite(smax), smax, 0.0)[dst]
+        expd = jnp.where(jnp.isfinite(s), jnp.exp(s - smax_e), 0.0)
+        if use_pallas:
+            denom = jax.lax.psum(                      # softmax pass two
+                segment_sum_sorted(expd, dst, indptr, n_pad, interpret),
+                GRAPH_AXIS)
+            denom_e = gather_rows_sorted(jnp.maximum(denom, 1e-9), dst,
+                                         indptr, n_pad, interpret)
+        else:
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(expd, dst, num_segments=n_pad,
+                                    indices_are_sorted=True), GRAPH_AXIS)
+            denom_e = jnp.maximum(denom, 1e-9)[dst]
+        alpha = expd / denom_e
+        msg = (zh * alpha[:, :, None]).reshape(-1, nh * dh)
+        if use_pallas:
+            out = segment_sum_sorted(msg, dst, indptr, n_pad, interpret)
+        else:
+            out = jax.ops.segment_sum(msg, dst, num_segments=n_pad,
+                                      indices_are_sorted=True)
+        return jax.lax.psum_scatter(
+            out, GRAPH_AXIS, scatter_dimension=0, tiled=True)
+
+    def attend(h_sharded, layer, half: GraphHalf, csr):
+        indptr, sperm, s_src, s_indptr, rperm, r_rel, r_indptr = csr
+        return _attend(h_sharded, layer.rel_mult, layer.att_src,
+                       layer.att_dst, layer.rel_bias,
+                       half.src, half.dst, half.rel,
+                       half.norm, indptr, sperm, s_src, s_indptr,
+                       rperm, r_rel, r_indptr)
+
+    return attend
+
+
 class RGAT(DecoderFamilyMixin):
     """Model family 'rgat' — relation-typed GAT encoder + any decoder."""
 

@@ -200,6 +200,25 @@ class RGCN(DecoderFamilyMixin):
         if (self.mode != "basis" or not self.cfg.use_pallas
                 or self._bwd_plans is not None):
             return
+        # mirror encode's gating: with entity sharding or a sharded graph
+        # axis the kernel path is off (up=False below), so building and
+        # device-placing the E_pad2-sized plan arrays would waste host and
+        # device memory at exactly the scales sharding targets
+        if (self.cfg.entity_sharded != "none"
+                or (self.mesh is not None
+                    and self.mesh.shape.get("graph", 1) > 1)):
+            return
+        # the band backward kernel stores d_a in a fixed 128-column block
+        # (_basis_bwd_kernel da scratch/out) — wider bases would index past
+        # it; fall back to the XLA backward (plan=None) rather than corrupt
+        if self.nb > 128:
+            import logging
+            logging.warning(
+                "num_bases=%d exceeds the backward band kernel's 128-column "
+                "d_a block; the basis backward runs the XLA fallback "
+                "(forward kernel still active)", self.nb)
+            self._bwd_plans = {}   # mark prepared: deliberate XLA backward
+            return
         from kgc_gcn_tpu.ops.spmm_pallas import build_basis_bwd_plan
         self._bwd_plans = {
             name: build_basis_bwd_plan(getattr(graph, name), self.n_ent)
@@ -287,6 +306,19 @@ class RGCN(DecoderFamilyMixin):
                      or self.mesh.shape.get("graph", 1) == 1)
             interp = up and jax.default_backend() != "tpu"
             plans = self._bwd_plans or {}
+            if (up and self._bwd_plans is None
+                    and not getattr(self, "_warned_no_plan", False)):
+                # Trainer-less constructions (serve.py Predictor, custom
+                # scripts) that skip prepare_kernels silently ran the XLA
+                # backward at 4.7x the step cost — say so once
+                import logging
+                logging.warning(
+                    "use_pallas is set but prepare_kernels(graph) was not "
+                    "called: the basis backward falls back to XLA scatters "
+                    "(measured ~4.7x slower at FB15k config 3). Call "
+                    "model.prepare_kernels(graph) once (the Trainer does "
+                    "this automatically).")
+                self._warned_no_plan = True
 
             def agg(x_, layer_, half_, n_):
                 name = "inb" if half_ is graph.inb else "outb"

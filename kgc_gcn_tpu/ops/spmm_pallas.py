@@ -56,6 +56,14 @@ BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
 #   after it (keeps the gather fused where bf16 convert+gather unfuses into
 #   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3;
 #   measured no fix either way there, kept as a documented knob)
+BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 64))
+BASIS_TILE_E = int(os.environ.get("KGC_BASIS_TILE_E", 256))
+#   dst-row-tile / edge-chunk sizes of the basis BACKWARD band kernel
+#   (build_basis_bwd_plan defaults; swept round 5 — see BENCH_NOTES).
+#   VMEM budget: g scratch is 3 copies of (tile_n, B*d_pad) (f32+2xbf16,
+#   ~tile_n*30 KiB at B=30/d_pad=128) and the in-kernel `sel` intermediate
+#   is (tile_e, B*d_pad) f32 (~tile_e*15 KiB) — keep their sum well under
+#   the 16 MiB scoped VMEM.
 SPERM_BARRIER = os.environ.get("KGC_SPERM_BARRIER", "0") == "1"
 #   scheduling experiment (round-2 open lever): the backward's contrib[sperm]
 #   gather measures 2.7 ms IN CONTEXT at FB15k scale vs 0.82 ms isolated
@@ -986,7 +994,7 @@ def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
 
 
 def build_basis_bwd_plan(half, n_rows: int,
-                         tile_n: int = 64, tile_e: int = 256):
+                         tile_n: int = None, tile_e: int = None):
     """Host-side layout for the basis BACKWARD kernel (_basis_bwd_kernel).
 
     The backward needs, per edge, the cotangent row ``g[dst_e]`` mixed over
@@ -1007,6 +1015,10 @@ def build_basis_bwd_plan(half, n_rows: int,
     tables.  Everything depends only on the static graph half — computed
     once by the model's ``prepare_kernels``.
     """
+    if tile_n is None:
+        tile_n = BASIS_TILE_N
+    if tile_e is None:
+        tile_e = BASIS_TILE_E
     from kgc_gcn_tpu.parallel.distributed import host_array
     ip = host_array(half.indptr).astype(np.int64)
     src = host_array(half.src)

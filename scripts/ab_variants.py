@@ -78,6 +78,10 @@ def build(overrides):
     sp.SPERM_BARRIER = str(kw.pop(
         "sperm_barrier",
         os.environ.get("KGC_SPERM_BARRIER", "0"))) == "1"
+    sp.BASIS_TILE_N = int(kw.pop(
+        "basis_tile_n", os.environ.get("KGC_BASIS_TILE_N", 64)))
+    sp.BASIS_TILE_E = int(kw.pop(
+        "basis_tile_e", os.environ.get("KGC_BASIS_TILE_E", 256)))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

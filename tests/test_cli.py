@@ -216,6 +216,10 @@ def test_maybe_default_pallas_guards():
     # rgcn gained a kernel path in round 4 (fused basis kernels)
     assert maybe_default_pallas(
         base.replace(model="rgcn"), None, "tpu").use_pallas
+    # ...but block mode has no kernel path (encode ignores use_pallas) —
+    # auto-enabling would misreport the config as accelerated
+    assert not maybe_default_pallas(
+        base.replace(model="rgcn", num_blocks=4), None, "tpu").use_pallas
     # presets that already decided are untouched
     fb = dataset_preset("FB15k-237")
     assert maybe_default_pallas(fb, None, "tpu") is fb

@@ -448,3 +448,64 @@ def test_per_relation_metrics_aggregate_to_overall(setup):
     tri = ds.valid_triples
     want = np.bincount(tri[:, 1], minlength=ds.num_relation)
     np.testing.assert_array_equal(c.astype(int), want)
+
+
+def test_rgcn_warns_on_trainerless_kernel_path(toy, toy_cfg, caplog):
+    """use_pallas without prepare_kernels silently ran the XLA backward at
+    4.7x the step cost (round-4 verdict) — encode must say so once."""
+    import logging
+
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=2,
+                          use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    with caplog.at_level(logging.WARNING):
+        model.encode(params, state, g)
+        model.encode(params, state, g)   # once only
+    hits = [r for r in caplog.records if "prepare_kernels" in r.message]
+    assert len(hits) == 1, [r.message for r in caplog.records]
+
+    # after prepare_kernels the warning never fires
+    caplog.clear()
+    model2 = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                         e_pad=g.e_pad)
+    model2.prepare_kernels(g)
+    assert model2._bwd_plans and set(model2._bwd_plans) == {"inb", "outb"}
+    with caplog.at_level(logging.WARNING):
+        model2.encode(params, state, g)
+    assert not [r for r in caplog.records if "prepare_kernels" in r.message]
+
+
+def test_rgcn_prepare_kernels_guards(toy, toy_cfg, caplog):
+    """num_bases > 128 exceeds the band kernel's fixed d_a block: the plan
+    must not build (XLA backward fallback) and encode must not then claim
+    prepare_kernels was skipped.  Entity-sharded / sharded-graph configs
+    never use the plan — prepare_kernels must not waste memory building it."""
+    import logging
+
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=130,
+                          use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    with caplog.at_level(logging.WARNING):
+        model.prepare_kernels(g)
+    assert model._bwd_plans == {}
+    assert [r for r in caplog.records if "128-column" in r.message]
+    params, state = model.init(jax.random.PRNGKey(0))
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        model.encode(params, state, g)
+    assert not [r for r in caplog.records if "prepare_kernels" in r.message]
+
+    # sharded-graph mesh: encode's kernel gate is off, so no plan is built
+    from kgc_gcn_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=1, graph=4)
+    cfg2 = toy_cfg.replace(model="rgcn", decoder="distmult", num_bases=2,
+                           use_pallas=True)
+    m3 = build_model(cfg2, ds.num_entity, ds.num_relation, ds.num_edge,
+                     e_pad=g.e_pad, mesh=mesh)
+    m3.prepare_kernels(g)
+    assert m3._bwd_plans is None
