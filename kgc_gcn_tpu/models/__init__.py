@@ -21,20 +21,11 @@ def build_model(cfg, n_ent: int, n_rel: int, n_edge: int, e_pad: int = None,
     if cfg.model == "rgcn":
         return RGCN(cfg, n_ent, n_rel, n_edge, mesh=mesh)
     if cfg.model == "rgat":
-        if getattr(cfg, "entity_sharded", "none") != "none":
-            # deliberate fail-fast, not a gap to paper over: RGAT's segment
-            # softmax needs a TWO-PASS distributed reduction over dst rows
-            # (max, then the exp-sum denominator) BEFORE the weighted
-            # aggregation — with entity rows sharded, dst segments straddle
-            # shard boundaries, so the softmax itself requires two extra
-            # compressed row exchanges per half (or a dst-aligned partition).
-            # That exchange pattern is designed but not built; shipping the
-            # plain schedules here would silently renormalize per shard and
-            # produce WRONG attention weights.
-            raise ValueError(
-                "entity_sharded is not supported with model=rgat: the "
-                "segment softmax needs a two-pass distributed reduction "
-                "(see models/__init__.py for the design note); use "
-                "model=mgcn/rgcn for entity-sharded graphs")
+        # entity_sharded='gather' is supported since round 5: the two-pass
+        # distributed segment softmax (pmax of the per-dst max, psum of the
+        # exp-sum denominator) rides the gather schedule's collectives
+        # (models/rgat._make_entity_sharded_attend).  ring/boundary remain
+        # a fail-fast inside RGAT.__init__ (their compressed row exchanges
+        # would need dedicated max/denom exchanges — designed, not built).
         return RGAT(cfg, n_ent, n_rel, n_edge, mesh=mesh)
     raise ValueError(f"unknown model family: {cfg.model!r}")

@@ -393,6 +393,25 @@ class RGAT(DecoderFamilyMixin):
         self.mesh = mesh
         self._edge_csr = None       # per-shard CSR metadata (edge partition)
         self._sharded_attend = None
+        self._es_csr = None         # entity-sharded (gather) per-shard CSR
+        self._es_attend = None
+        self._es_npad = None
+        if cfg.entity_sharded not in ("none", "gather"):
+            # the ring/boundary schedules stream or compress ROW SETS; the
+            # distributed softmax additionally needs the per-dst max and
+            # exp-sum combined across shards, which the gather schedule gets
+            # from two cheap (N, H) collectives (pmax + psum) — under
+            # ring/boundary those would need their own compressed exchanges.
+            # Designed, not built: fail fast rather than renormalize wrongly.
+            raise ValueError(
+                "model=rgat supports entity_sharded='gather' only (the "
+                "two-pass distributed softmax rides the gather schedule's "
+                "collectives; ring/boundary would need compressed max/denom "
+                "exchanges — see models/rgat._make_entity_sharded_attend)")
+        if cfg.entity_sharded == "gather" and mesh is None:
+            raise ValueError(
+                "entity_sharded needs a (data, graph) mesh — the CLI builds "
+                "it from --graph_axis")
 
     def _layer_dims(self) -> List[Tuple[int, int]]:
         cfg = self.cfg
@@ -434,6 +453,33 @@ class RGAT(DecoderFamilyMixin):
             for name in ("inb", "outb")}
         self._sharded_attend = _make_sharded_attend(
             self.mesh, self.n_ent, self.nh,
+            next(iter(self.mesh.devices.flat)).platform != "tpu")
+
+    def prepare_entity_sharding(self, graph: Graph) -> None:
+        """Entity-sharded (gather schedule) attention: per-shard local CSR
+        over the padded row space + the two-pass distributed-softmax attend
+        (:func:`_make_entity_sharded_attend`).  The Trainer calls this;
+        idempotent."""
+        if self.cfg.entity_sharded != "gather" or self._es_csr is not None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kgc_gcn_tpu.parallel.distributed import put_global
+        from kgc_gcn_tpu.parallel.edge_parallel import build_local_csr
+        from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+        g = self.mesh.shape[GRAPH_AXIS]
+        if g < 2:
+            raise ValueError("entity_sharded needs a graph axis > 1")
+        n_pad = -(-self.n_ent // g) * g
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        self._es_csr = {
+            name: tuple(put_global(a, row) for a in
+                        build_local_csr(getattr(graph, name), g,
+                                        n_rows_out=n_pad))
+            for name in ("inb", "outb")}
+        self._es_npad = n_pad
+        self._es_attend = _make_entity_sharded_attend(
+            self.mesh, n_pad, self.nh, self._use_pallas,
             next(iter(self.mesh.devices.flat)).platform != "tpu")
 
     def init(self, key: jax.Array) -> Tuple[RGATParams, RGATState]:
@@ -479,6 +525,30 @@ class RGAT(DecoderFamilyMixin):
         up = self._use_pallas
         interp = up and jax.default_backend() != "tpu"
         for i, layer in enumerate(params.layers):
+            if cfg.entity_sharded == "gather":
+                # entity rows sharded over the graph axis: pad to the
+                # axis-divisible row space, run the two-pass distributed
+                # softmax attend per half (prepare_entity_sharding), slice
+                # the padding rows back off
+                if self._es_attend is None:
+                    raise RuntimeError(
+                        "call prepare_entity_sharding(graph) before encode "
+                        "(the Trainer does this automatically)")
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from kgc_gcn_tpu.parallel.mesh import GRAPH_AXIS
+                row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+                xp = jnp.pad(x, ((0, self._es_npad - self.n_ent), (0, 0)))
+                xp = jax.lax.with_sharding_constraint(xp, row)
+                h = xp @ layer.weight                  # row-sharded (n_pad, d)
+                agg = (self._es_attend(h, layer, graph.inb,
+                                       self._es_csr["inb"])
+                       + self._es_attend(h, layer, graph.outb,
+                                         self._es_csr["outb"])
+                       + xp @ layer.self_weight)[: self.n_ent]
+                x = jax.nn.relu(agg)
+                x = dropout(x, cfg.gcn_drop, rngs.get(f"layer{i}"), train)
+                continue
             h = x @ layer.weight                              # ONE MXU matmul
             if self._edge_csr is not None:
                 # per-shard kernels under the edge partition (shard_map;

@@ -18,12 +18,13 @@ This class owns what used to live inside models/mgcn.py
 (``prepare_entity_sharding`` / ``_agg_entity_sharded``): building the
 schedule once per (graph, mesh) on the host, placing the static metadata
 with ``P(graph)`` sharding, and running the padded/constrained per-half
-aggregation.  RGAT is NOT covered: its segment softmax needs a two-pass
-distributed reduction (max then sum over dst rows that may straddle shard
-boundaries) before the weighted aggregation — a different exchange pattern
-(two extra compressed row exchanges per half, or a dst-aligned edge
-partition); deferred with the fail-fast in models/__init__.py rather than
-shipped as a silently-slow path.
+aggregation.  RGAT is NOT routed through this class: its segment softmax
+needs a two-pass distributed reduction (max then sum over dst rows that may
+straddle shard boundaries) BEFORE the weighted aggregation, so it has its
+own gather-schedule implementation (models/rgat._make_entity_sharded_attend,
+round 5: all_gather + pmax/psum + psum_scatter); ring/boundary with RGAT
+remain a fail-fast (their compressed exchanges would need dedicated
+max/denominator legs).
 """
 
 from __future__ import annotations

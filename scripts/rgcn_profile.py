@@ -95,13 +95,13 @@ def main(scope="all"):
     halves = (graph.inb, graph.outb)
     plans = model._bwd_plans
 
-    def scan(body):
+    def scan(body, *arrs):
         @jax.jit
-        def run():
+        def run(*a):
             out, _ = jax.lax.scan(
-                lambda c, b: (body(c, b), None), 0.0, jnp.arange(STEPS))
+                lambda c, b: (body(c, b, *a), None), 0.0, jnp.arange(STEPS))
             return out
-        return run
+        return lambda: run(*arrs)
 
     # ---- kernel/operand pieces (small programs — compile in seconds)
     def fwd_operands(c, b):
@@ -121,13 +121,14 @@ def main(scope="all"):
         a = np.asarray(layer.coeff)[np.asarray(h.rel)]
         fixed.append((jnp.asarray(msg), jnp.asarray(a)))
 
-    def fwd_kernel(c, b):
-        for h, (msg, a) in zip(halves, fixed):
+    def fwd_kernel(c, b, m0, a0, m1, a1):
+        for h, (msg, a) in zip(halves, ((m0, a0), (m1, a1))):
             agg = sp._basis_fused_call(msg + c, a, h.dst, h.indptr,
                                        n_ent, n_b, interp)
             c = c + agg[0, 0]
         return c
-    results["fwd_kernel"] = timed(scan(fwd_kernel))
+    results["fwd_kernel"] = timed(scan(
+        fwd_kernel, fixed[0][0], fixed[0][1], fixed[1][0], fixed[1][1]))
 
     def einsum_proj(c, b):
         x = params.entity_embedding + c
@@ -168,9 +169,10 @@ def main(scope="all"):
                            (n_tiles, tile_n, tile_e), maskp, relp,
                            sperm_pad, s_normp)
 
-    def bwd_band(c, b):
-        for name, h in zip(("inb", "outb"), halves):
-            (gflat, msgp, ap, dstp, cb, meta, maskp, relp, sperm_pad,
+    def bwd_band(c, b, *arrs):
+        for i, name in enumerate(("inb", "outb")):
+            gflat, msgp, ap = arrs[3 * i: 3 * i + 3]
+            (_, _, _, dstp, cb, meta, maskp, relp, sperm_pad,
              s_normp) = fixed_bwd[name]
             n_tiles, tile_n, tile_e = meta
             dmsg, da = sp._basis_bwd_call(gflat + c, msgp, ap, dstp, cb,
@@ -178,7 +180,9 @@ def main(scope="all"):
                                           interp)
             c = c + dmsg[0, 0] + da[0, 0]
         return c
-    results["bwd_band"] = timed(scan(bwd_band))
+    results["bwd_band"] = timed(scan(
+        bwd_band, *[fixed_bwd[n][i] for n in ("inb", "outb")
+                    for i in range(3)]))
 
     # fixed band outputs for the downstream pieces
     fixed_out = {}
@@ -189,15 +193,15 @@ def main(scope="all"):
         fixed_out[name] = (jnp.ones((e_pad2, d_pad), jnp.float32),
                            jnp.ones((e_pad2, 128), jnp.float32))
 
-    def bwd_readback(c, b):
-        for name in ("inb", "outb"):
+    def bwd_readback(c, b, dm0, dm1):
+        for name, dmsg_pad in zip(("inb", "outb"), (dm0, dm1)):
             (_, _, _, _, _, _, maskp, relp, sperm_pad, s_normp) = \
                 fixed_bwd[name]
-            dmsg_pad, _ = fixed_out[name]
             contrib_s = (dmsg_pad + c)[sperm_pad][:, :d] * s_normp[:, None]
             c = c + contrib_s[0, 0]
         return c
-    results["bwd_readback"] = timed(scan(bwd_readback))
+    results["bwd_readback"] = timed(scan(
+        bwd_readback, fixed_out["inb"][0], fixed_out["outb"][0]))
 
     def bwd_dx(c, b):
         for name, h in zip(("inb", "outb"), halves):
@@ -208,17 +212,17 @@ def main(scope="all"):
         return c
     results["bwd_dx"] = timed(scan(bwd_dx))
 
-    def bwd_dcoeff(c, b):
-        for name in ("inb", "outb"):
+    def bwd_dcoeff(c, b, da0, da1):
+        for name, da_pad in zip(("inb", "outb"), (da0, da1)):
             (_, _, _, _, _, _, maskp, relp, sperm_pad, s_normp) = \
                 fixed_bwd[name]
-            _, da_pad = fixed_out[name]
             dc = sp._segment_sum_few((da_pad + c) * maskp[:, None], relp,
                                      2 * n_rel, rdata=None,
                                      interpret=interp)[:, :n_b]
             c = c + dc[0, 0]
         return c
-    results["bwd_dcoeff"] = timed(scan(bwd_dcoeff))
+    results["bwd_dcoeff"] = timed(scan(
+        bwd_dcoeff, fixed_out["inb"][1], fixed_out["outb"][1]))
 
     if scope == "all":
         # ---- encoder-level + full step (the expensive compiles)

@@ -641,16 +641,66 @@ def test_rgcn_entity_sharded_step_matches_single_device(
                                    rtol=2e-2, atol=1e-3)
 
 
-def test_rgat_entity_sharded_fails_fast():
-    """The RGAT × entity_sharded design-note fail-fast (models/__init__.py):
-    a silently per-shard-renormalized softmax would be WRONG, so the factory
-    must refuse."""
+def test_rgat_entity_sharded_ring_boundary_fail_fast():
+    """RGAT × entity_sharded supports the gather schedule (round 5, two-pass
+    distributed softmax); ring/boundary would need their own compressed
+    max/denom exchanges — still a deliberate fail-fast, not a silent
+    per-shard renormalization."""
     from kgc_gcn_tpu.config import dataset_preset
-    cfg = dataset_preset("Toy", model="rgat", decoder="distmult",
-                         entity_sharded="gather", graph_axis=8)
     mesh = make_mesh(data=1, graph=8)
-    with pytest.raises(ValueError, match="two-pass"):
-        build_model(cfg, 12, 4, 40, mesh=mesh)
+    for sched in ("ring", "boundary"):
+        cfg = dataset_preset("Toy", model="rgat", decoder="distmult",
+                             entity_sharded=sched, graph_axis=8)
+        with pytest.raises(ValueError, match="gather"):
+            build_model(cfg, 12, 4, 40, mesh=mesh)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_rgat_entity_sharded_epoch_matches_single_device(
+        toy, toy_cfg, eight_devices, use_pallas):
+    """RGAT × entity_sharded='gather' (the round-4 verdict's designed-but-
+    unbuilt two-pass distributed softmax, now built): a full scanned epoch
+    with entity rows sharded over the graph axis == the single-chip path —
+    attention renormalizes GLOBALLY across shard-straddling dst segments via
+    pmax(max) + psum(denominator), and gradients flow through the
+    collectives' transposes (params compared after Adam)."""
+    from kgc_gcn_tpu.data.graph import build_graph
+
+    ds, _, banks = toy
+    g0 = build_graph(ds.train_triples, ds.num_entity, ds.num_relation,
+                     pad_to=512)   # axis-divisible edge padding
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          batch_size=4, use_pallas=use_pallas)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g0.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg).init(params)
+    host = lambda t: jax.tree.map(np.asarray, t)
+    params_h, state_h, opt_h = host(params), host(state), host(opt)
+    dev = lambda t: jax.tree.map(jnp.asarray, t)
+
+    t0 = Trainer(cfg, model, g0, banks)
+    p1, *_, loss1 = t0.train_epoch(
+        dev(params_h), dev(state_h), dev(opt_h), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    cfg2 = cfg.replace(entity_sharded="gather", data_axis=2, graph_axis=4)
+    mesh = make_mesh(2, 4)
+    model2 = build_model(cfg2, ds.num_entity, ds.num_relation, ds.num_edge,
+                         e_pad=g0.e_pad, mesh=mesh)
+    gs = shard_graph(g0, mesh)
+    tm = Trainer(cfg2, model2, gs, banks, mesh=mesh)
+    assert model2._es_csr is not None     # the sharded path is ACTUALLY on
+    assert model2._edge_csr is None       # and not the edge-partition one
+    p2, *_, loss2 = tm.train_epoch(
+        shard_params(dev(params_h), mesh), shard_params(dev(state_h), mesh),
+        shard_params(dev(opt_h), mesh), 1,
+        np.random.default_rng(0), jax.random.PRNGKey(1))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-4
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-3)
 
 
 def test_rgat_pallas_sharded_epoch_matches_single_device(
