@@ -113,3 +113,24 @@ def test_generalization_gate_rotate_decoder(sync_corpus):
                          gcn_drop=0.1, conv_drop=0.0)
     best = _train_best_val(ds, g, banks, cfg, max_epoch=400, stop_at=0.85)
     assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_generalization_gate_rgcn_basis(sync_corpus, use_pallas):
+    """RGCN-basis learns the compositional structure on BOTH the XLA and
+    kernel paths (round-4 verdict: the family whose perf the repo advertises
+    had no learning gate).  The kernel path exercises the fused basis
+    forward kernel AND the dst-tile band backward (prepare_kernels builds
+    the plan; interpret mode off-TPU).  Gate is 6x chance with early stop,
+    like the RGAT gate."""
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
+                         decoder="complex", batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1, gcn_drop=0.1,
+                         model="rgcn", num_bases=4, use_pallas=use_pallas)
+    # kernel path: fewer epochs (interpret-mode kernels are slow on CPU);
+    # it follows the same trajectory as XLA (equality-pinned in test_pallas)
+    max_epoch = 150 if use_pallas else 400
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=max_epoch,
+                           stop_at=0.3)
+    assert best > 0.25, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
