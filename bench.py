@@ -65,7 +65,7 @@ import numpy as np
 VALID_MODES = frozenset((
     "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
     "fb15k", "fb15k_best", "fb15k_sx", "rgat", "rgat_pallas", "rgcn",
-    "rgcn_pallas", "eval", "multichip", "suite"))
+    "rgcn_pallas", "rgcn_block", "sampled", "eval", "multichip", "suite"))
 
 # the modes the repo advertises as records — what `suite` re-measures.
 # fb15k_sx (the f32 FB15k record) and the rgat/rgcn XLA anchors are included
@@ -284,6 +284,14 @@ def _run(mode: str):
         cfg = cfg.replace(model="rgcn", decoder="distmult", num_bases=30,
                           train_mode="negative_sampling", num_negatives=64,
                           use_pallas=(mode == "rgcn_pallas"))
+    elif mode == "rgcn_block":
+        # config 3's OTHER decomposition ("basis/block" — the north star
+        # names both): block-diagonal relation weights, edge-chunked under
+        # lax.scan (models/rgcn._block_aggregate; correctness-only until
+        # round 5 — this mode gives it a first TPU number)
+        cfg = cfg.replace(model="rgcn", decoder="distmult", num_bases=0,
+                          num_blocks=10, train_mode="negative_sampling",
+                          num_negatives=64, use_pallas=False)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
@@ -337,6 +345,64 @@ def _run(mode: str):
                        "sec_max": round(max(times), 4),
                        "reps": [round(t, 4) for t in times],
                        "steps": steps,
+                       "device": str(jax.devices()[0])},
+        }))
+        return
+
+    if mode == "sampled":
+        # BASELINE.json config 4: stochastic edge-subsampled training.  One
+        # JSON line carrying a K sweep (per-half sample sizes E/8, E/4, E/2)
+        # plus the full-graph XLA and Pallas anchors, all back-to-back in
+        # THIS process (the only valid comparison — BENCH_NOTES rules).  The
+        # sampled halves are unsorted, so aggregation runs XLA's unsorted
+        # segment-sum (ops/sampler.py) — the sweep measures exactly when
+        # that penalty beats the full-graph encode.
+        sweep = {}
+        variants = [("full_xla", dict(use_pallas=False)),
+                    ("full_pallas", dict(use_pallas=True))]
+        for frac, lbl in ((8, "K=E/8"), (4, "K=E/4"), (2, "K=E/2")):
+            variants.append((lbl, dict(use_pallas=False,
+                                       edge_sample_size=n_edge // frac)))
+        for lbl, kw in variants:
+            cfg_v = cfg.replace(**kw)
+            model_v = build_model(cfg_v, n_ent, n_rel, n_edge,
+                                  e_pad=graph.e_pad)
+            params_v, state_v = model_v.init(jax.random.PRNGKey(0))
+            opt_v = make_optimizer(cfg_v).init(params_v)
+            tr = Trainer(cfg_v, model_v, graph, {"train": bank})
+            lr_v = jnp.float32(cfg_v.learning_rate)
+
+            def runv(p, s, o, seed):
+                idx = rng.integers(n_edge, size=(steps, batch)).astype(
+                    np.int32)
+                mask = np.ones((steps, batch), np.float32)
+                p, s, o, loss = tr._train_epoch_jit(
+                    p, s, o, graph, root_key(cfg_v, seed), lr_v,
+                    jnp.asarray(idx), jnp.asarray(mask), bank.queries,
+                    bank.label_idx)
+                return p, s, o, float(loss.mean())
+            p, s, o, _ = runv(params_v, state_v, opt_v, 1)
+            times = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                p, s, o, loss_v = runv(p, s, o, 10 + rep)
+                times.append(time.perf_counter() - t0)
+            dt = statistics.median(times)
+            sweep[lbl] = {"steps_per_s": round(steps / dt, 2),
+                          "loss": round(loss_v, 5)}
+        best_k = max((k for k in sweep if k.startswith("K=")),
+                     key=lambda k: sweep[k]["steps_per_s"])
+        print(json.dumps({
+            "metric": "train_steps_per_s_sampled",
+            "value": sweep[best_k]["steps_per_s"],
+            "unit": "steps/s",
+            "vs_baseline": round(
+                sweep[best_k]["steps_per_s"]
+                / max(sweep["full_xla"]["steps_per_s"], 1e-9), 3),
+            "detail": {"mode": mode, "steps": steps, "sweep": sweep,
+                       "best_k": best_k,
+                       "graph": {"n_ent": n_ent, "n_rel": n_rel,
+                                 "n_edge": n_edge},
                        "device": str(jax.devices()[0])},
         }))
         return

@@ -37,6 +37,30 @@ from kgc_gcn_tpu.models.common import dropout, xavier_uniform
 from kgc_gcn_tpu.models.decoders import DECODERS
 from kgc_gcn_tpu.models.family_base import DecoderFamilyMixin
 
+import os
+
+RGAT_LAYOUT = os.environ.get("KGC_RGAT_LAYOUT", "3d")
+#   edge-message layout of the attention path (round-4 closing-trace idea,
+#   A/B'd round 5 — see BENCH_NOTES):
+#   '3d'   — (E, H, dh) reshapes for the logits einsum and the alpha-weighted
+#            message (the original layout; XLA emits ~1.6 ms/step of retiling
+#            copies for the 3D views + 1.5 ms combine copies at WN18RR scale)
+#   'flat' — keep (E, d_out) 2D everywhere: logits via a block-diagonal
+#            (d_out, H) matmul (att_src scattered on the block diagonal),
+#            alpha expansion via a 0/1 (H, d_out) block-indicator matmul —
+#            both tiny MXU ops instead of VPU-retiling reshapes
+
+
+def _block_mats(att_src: jax.Array, dtype=jnp.float32):
+    """(d_out, H) block-diagonal logits matrix A (A[d, h] = att_src[h, d']
+    for d in head h's lane block) and the (H, d_out) 0/1 block indicator."""
+    nh, dh = att_src.shape
+    d_out = nh * dh
+    ind = (jnp.arange(d_out, dtype=jnp.int32)[None, :] // dh
+           == jnp.arange(nh, dtype=jnp.int32)[:, None]).astype(dtype)
+    a_mat = att_src.reshape(-1)[:, None] * ind.T        # (d_out, H)
+    return a_mat, ind
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -134,14 +158,26 @@ def _attend_half(
                          n_ent, interpret)
     else:
         z = h[half.src] * layer.rel_mult[half.rel]           # (E, d_out)
-    zh = z.reshape(-1, nh, dh)                               # (E, H, dh)
-    # the destination term is a per-NODE reduction — precompute it (N, H)
-    # and gather H floats per edge instead of gathering the full (E, d_out)
-    # h[dst] rows (d_out/H x less HBM traffic on the hot path; large
-    # permutation gathers run well under peak in context, BENCH_NOTES)
-    score_dst = jnp.einsum("nhd,hd->nh", h.reshape(n_ent, nh, dh),
-                           layer.att_dst,
-                           preferred_element_type=jnp.float32)   # (N, H)
+    flat = RGAT_LAYOUT == "flat"
+    if flat:
+        # H-blocked flat-lane layout: the per-head contractions become tiny
+        # block-structured MXU matmuls and z/msg stay (E, d_out) 2D — no
+        # (E, H, dh) retiling copies (see RGAT_LAYOUT above)
+        a_src_mat, ind = _block_mats(layer.att_src)
+        a_dst_mat, _ = _block_mats(layer.att_dst)
+        zh = None
+        score_dst = jnp.dot(h, a_dst_mat,
+                            preferred_element_type=jnp.float32)  # (N, H)
+    else:
+        zh = z.reshape(-1, nh, dh)                           # (E, H, dh)
+        # the destination term is a per-NODE reduction — precompute it (N, H)
+        # and gather H floats per edge instead of gathering the full
+        # (E, d_out) h[dst] rows (d_out/H x less HBM traffic on the hot
+        # path; large permutation gathers run well under peak in context,
+        # BENCH_NOTES)
+        score_dst = jnp.einsum("nhd,hd->nh", h.reshape(n_ent, nh, dh),
+                               layer.att_dst,
+                               preferred_element_type=jnp.float32)  # (N, H)
     if use_pallas:
         # per-edge gathers whose BACKWARD scatters route through the MXU
         # CSR kernel / one-hot matmul instead of XLA's serial scatter-add
@@ -153,15 +189,23 @@ def _attend_half(
     else:
         sd_e = score_dst[half.dst]
         rb_e = layer.rel_bias[half.rel]
-    s = (jnp.einsum("ehd,hd->eh", zh, layer.att_src,
-                    preferred_element_type=jnp.float32)
-         + sd_e + rb_e)                                      # (E, H)
+    if flat:
+        s = jnp.dot(z, a_src_mat,
+                    preferred_element_type=jnp.float32) + sd_e + rb_e
+    else:
+        s = (jnp.einsum("ehd,hd->eh", zh, layer.att_src,
+                        preferred_element_type=jnp.float32)
+             + sd_e + rb_e)                                  # (E, H)
     s = jax.nn.leaky_relu(s, neg_slope)
     # padding edges (norm == 0) must not participate in the softmax
     s = jnp.where(half.norm[:, None] > 0, s, -jnp.inf)
     alpha = segment_softmax(s, half.dst, n_ent, indptr=half.indptr,
                             use_pallas=use_pallas, interpret=interpret)
-    msg = (zh * alpha[:, :, None]).reshape(-1, nh * dh)
+    if flat:
+        msg = z * jnp.dot(alpha, ind,
+                          preferred_element_type=jnp.float32)
+    else:
+        msg = (zh * alpha[:, :, None]).reshape(-1, nh * dh)
     if use_pallas:
         # MXU CSR kernel via the generic sorted wrapper: its backward is a
         # plain gather, the products autodiff elementwise, and d_z flows

@@ -82,6 +82,9 @@ def build(overrides):
         "basis_tile_n", os.environ.get("KGC_BASIS_TILE_N", 64)))
     sp.BASIS_TILE_E = int(kw.pop(
         "basis_tile_e", os.environ.get("KGC_BASIS_TILE_E", 256)))
+    import kgc_gcn_tpu.models.rgat as rgat_mod
+    rgat_mod.RGAT_LAYOUT = kw.pop(
+        "rgat_layout", os.environ.get("KGC_RGAT_LAYOUT", "3d"))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

@@ -229,3 +229,38 @@ def test_rgcn_pallas_basis_matches_xla(toy, toy_cfg):
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_rgat_flat_layout_matches_3d(toy, toy_cfg, use_pallas, monkeypatch):
+    """KGC_RGAT_LAYOUT=flat (H-blocked flat-lane layout: block-diagonal
+    logits matmul + 0/1 block-indicator alpha expansion, round-5 A/B of the
+    round-4 closing-trace idea) must be numerically identical to the 3D
+    reshape layout — it is the same contraction re-expressed."""
+    import kgc_gcn_tpu.models.rgat as rgat_mod
+
+    ds, g, banks = toy
+    cfg = toy_cfg.replace(model="rgat", decoder="distmult", num_heads=4,
+                          use_pallas=use_pallas)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    outs = {}
+    for layout in ("3d", "flat"):
+        monkeypatch.setattr(rgat_mod, "RGAT_LAYOUT", layout)
+        ae, ar, _ = model.encode(params, state, g)
+        # gradients must match too (the flat layout reroutes the backward
+        # through the block matmuls)
+        grad = jax.grad(
+            lambda p: float_sum(model.encode(p, state, g)[0]))(params)
+        outs[layout] = (np.asarray(ae),
+                        np.asarray(grad.layers[0].att_src),
+                        np.asarray(grad.layers[0].rel_mult))
+    for a, b in zip(outs["3d"], outs["flat"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def float_sum(x):
+    import jax.numpy as jnp
+    return jnp.sum(x * jnp.sin(jnp.arange(x.shape[-1])))  # asymmetric probe
