@@ -58,6 +58,10 @@ BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
 #   measured no fix either way there, kept as a documented knob)
 BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 64))
 BASIS_TILE_E = int(os.environ.get("KGC_BASIS_TILE_E", 256))
+BASIS_FWD_TILE_N = int(os.environ.get("KGC_BASIS_FWD_TILE_N", 0))
+#   >0 pins the basis FORWARD kernel's dst-row tile (otherwise derived from
+#   TILE_N under a 1 MiB out-block cap).  The out block is
+#   (tile_n, B*d_pad) f32 VMEM — at B=30/d_pad=128, tile_n=128 is ~2 MiB.
 #   dst-row-tile / edge-chunk sizes of the basis BACKWARD band kernel
 #   (build_basis_bwd_plan defaults; swept round 5 — see BENCH_NOTES).
 #   VMEM budget: g scratch is 3 copies of (tile_n, B*d_pad) (f32+2xbf16,
@@ -942,9 +946,12 @@ def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
     d_pad = -(-d_orig // 128) * 128
     # out block (tile_n, B*d_pad) f32 must stay ~<=1 MiB of the 16 MiB
     # scoped VMEM (plus per-b bf16 intermediates that scale with tile_e*d)
-    tile_n = TILE_N
-    while tile_n > 8 and tile_n * n_b * d_pad * 4 > 2**20:
-        tile_n //= 2
+    if BASIS_FWD_TILE_N > 0:
+        tile_n = BASIS_FWD_TILE_N
+    else:
+        tile_n = TILE_N
+        while tile_n > 8 and tile_n * n_b * d_pad * 4 > 2**20:
+            tile_n //= 2
     tile_e = min(TILE_E, 256)
     e_total = -(-e_orig // tile_e) * tile_e
     # Mosaic DMA slices must be 128-lane-aligned — pad the coefficient

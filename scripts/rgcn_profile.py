@@ -23,7 +23,7 @@ Tile knobs ride the module globals (KGC_BASIS_TILE_N / KGC_BASIS_TILE_E):
 ``python scripts/rgcn_profile.py kernels`` re-times only the kernel pieces,
 which compile in seconds — the cheap way to sweep band-kernel tiles.
 
-Usage: python scripts/rgcn_profile.py [all|kernels]
+Usage: python scripts/rgcn_profile.py [all|kernels|band]
 """
 
 import json
@@ -103,6 +103,12 @@ def main(scope="all"):
             return out
         return lambda: run(*arrs)
 
+    only = {"band": ("bwd_band",),
+            "kernels": ("fwd_kernel", "bwd_band")}.get(scope)
+
+    def want(name):
+        return only is None or name in only
+
     # ---- kernel/operand pieces (small programs — compile in seconds)
     def fwd_operands(c, b):
         x = params.entity_embedding + c
@@ -111,7 +117,8 @@ def main(scope="all"):
             a = layer.coeff[h.rel]
             c = c + msg[0, 0] + a[0, 0]
         return c
-    results["fwd_operands"] = timed(scan(fwd_operands))
+    if want("fwd_operands"):
+        results["fwd_operands"] = timed(scan(fwd_operands))
 
     # fixed operands for the kernel-only scans
     fixed = []
@@ -127,8 +134,9 @@ def main(scope="all"):
                                        n_ent, n_b, interp)
             c = c + agg[0, 0]
         return c
-    results["fwd_kernel"] = timed(scan(
-        fwd_kernel, fixed[0][0], fixed[0][1], fixed[1][0], fixed[1][1]))
+    if want("fwd_kernel"):
+        results["fwd_kernel"] = timed(scan(
+            fwd_kernel, fixed[0][0], fixed[0][1], fixed[1][0], fixed[1][1]))
 
     def einsum_proj(c, b):
         x = params.entity_embedding + c
@@ -137,7 +145,8 @@ def main(scope="all"):
                         preferred_element_type=jnp.float32) * 2
              + x @ layer.self_weight)
         return c + h[0, 0] * 1e-20
-    results["einsum"] = timed(scan(einsum_proj))
+    if want("einsum"):
+        results["einsum"] = timed(scan(einsum_proj))
 
     # backward pieces: padded-order operands per plan
     g_fixed = jnp.ones((n_ent, n_b, d_pad), jnp.float32)
@@ -151,7 +160,8 @@ def main(scope="all"):
             ap = sp._pad_cols(layer.coeff[relp])
             c = c + msgp[0, 0] + ap[0, 0]
         return c
-    results["bwd_operands"] = timed(scan(bwd_operands))
+    if want("bwd_operands"):
+        results["bwd_operands"] = timed(scan(bwd_operands))
 
     fixed_bwd = {}
     for name, h in zip(("inb", "outb"), halves):
@@ -180,9 +190,10 @@ def main(scope="all"):
                                           interp)
             c = c + dmsg[0, 0] + da[0, 0]
         return c
-    results["bwd_band"] = timed(scan(
-        bwd_band, *[fixed_bwd[n][i] for n in ("inb", "outb")
-                    for i in range(3)]))
+    if want("bwd_band"):
+        results["bwd_band"] = timed(scan(
+            bwd_band, *[fixed_bwd[n][i] for n in ("inb", "outb")
+                        for i in range(3)]))
 
     # fixed band outputs for the downstream pieces
     fixed_out = {}
@@ -200,8 +211,9 @@ def main(scope="all"):
             contrib_s = (dmsg_pad + c)[sperm_pad][:, :d] * s_normp[:, None]
             c = c + contrib_s[0, 0]
         return c
-    results["bwd_readback"] = timed(scan(
-        bwd_readback, fixed_out["inb"][0], fixed_out["outb"][0]))
+    if want("bwd_readback"):
+        results["bwd_readback"] = timed(scan(
+            bwd_readback, fixed_out["inb"][0], fixed_out["outb"][0]))
 
     def bwd_dx(c, b):
         for name, h in zip(("inb", "outb"), halves):
@@ -210,7 +222,8 @@ def main(scope="all"):
                                        n_ent, interpret=interp)
             c = c + dx[0, 0]
         return c
-    results["bwd_dx"] = timed(scan(bwd_dx))
+    if want("bwd_dx"):
+        results["bwd_dx"] = timed(scan(bwd_dx))
 
     def bwd_dcoeff(c, b, da0, da1):
         for name, da_pad in zip(("inb", "outb"), (da0, da1)):
@@ -221,8 +234,9 @@ def main(scope="all"):
                                      interpret=interp)[:, :n_b]
             c = c + dc[0, 0]
         return c
-    results["bwd_dcoeff"] = timed(scan(
-        bwd_dcoeff, fixed_out["inb"][1], fixed_out["outb"][1]))
+    if want("bwd_dcoeff"):
+        results["bwd_dcoeff"] = timed(scan(
+            bwd_dcoeff, fixed_out["inb"][1], fixed_out["outb"][1]))
 
     if scope == "all":
         # ---- encoder-level + full step (the expensive compiles)
