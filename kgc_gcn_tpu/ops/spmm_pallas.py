@@ -62,6 +62,22 @@ BASIS_FWD_TILE_N = int(os.environ.get("KGC_BASIS_FWD_TILE_N", 0))
 #   >0 pins the basis FORWARD kernel's dst-row tile (otherwise derived from
 #   TILE_N under a 1 MiB out-block cap).  The out block is
 #   (tile_n, B*d_pad) f32 VMEM — at B=30/d_pad=128, tile_n=128 is ~2 MiB.
+BASIS_READBACK = os.environ.get("KGC_BASIS_READBACK", "wide")
+#   the backward's s<->d readback permutation (6.8 ms/step of the 45.7 at
+#   FB15k config 3 — round-5 profile): 'wide' gathers the (E_pad2, 128)
+#   padded rows then slices to d; 'narrow' slices to d FIRST and gathers
+#   d-wide (row gathers from a 128-lane array measured 2.3x slower than
+#   from a native-width one — BENCH_NOTES lore #5)
+BASIS_BWD_VARIANT = os.environ.get("KGC_BASIS_BWD_VARIANT", "full")
+#   band backward kernel inner-schedule variants (round-5 attribution +
+#   candidates; A/B via ab_variants basis_bwd_variant:):
+#   'full'      — per-b VPU acc loop for d_msg + per-b lane-reduce with
+#                 width-1 column stores for d_a (the round-4 schedule)
+#   'da_matmul' — d_a via ONE hi/lo MXU matmul against the 0/1 block
+#                 indicator (replaces 30 width-1 sublane stores + 30 lane
+#                 reductions per chunk); numerics-equivalent candidate
+#   'no_da' / 'no_dmsg' / 'dma_only' — TIMING-ONLY attribution variants
+#                 (skip that piece; outputs wrong) — never use in training
 #   dst-row-tile / edge-chunk sizes of the basis BACKWARD band kernel
 #   (build_basis_bwd_plan defaults; swept round 5 — see BENCH_NOTES).
 #   VMEM budget: g scratch is 3 copies of (tile_n, B*d_pad) (f32+2xbf16,
@@ -1071,7 +1087,7 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
                       dmsg_ref, da_ref,
                       g_vmem, ghi_vmem, glo_vmem, msg_vmem, a_vmem,
                       dst_vmem, dmsg_vmem, da_vmem, sems, osems,
-                      *, tile_n, tile_e, n_b, d_pad):
+                      *, tile_n, tile_e, n_b, d_pad, variant="full"):
     """Per destination-row tile: DMA the tile's (tile_n, B*d_pad) cotangent
     rows once, then per edge chunk select rows via the one-hot MXU matmul
     (``sel = onehot(dst) @ g_tile``, hi/lo bf16 for f32 accuracy) and emit
@@ -1132,15 +1148,18 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
             jnp.int32, (tile_n, tile_e), 0) + row0
         mine = (rows == dst_vmem[slot]).astype(jnp.bfloat16)  # (tile_n, E_t)
         dn = (((0,), (0,)), ((), ()))    # contract the row dim -> (E_t, Bd)
-        sel = (jax.lax.dot_general(mine, ghi_vmem[:],
-                                   dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(mine, glo_vmem[:],
-                                     dimension_numbers=dn,
-                                     preferred_element_type=jnp.float32))
         a = a_vmem[slot]
         m = msg_vmem[slot]
         oslot = jax.lax.rem(ci, 2)
+        if variant == "dma_only":
+            sel = jnp.zeros((tile_e, n_b * d_pad), jnp.float32)
+        else:
+            sel = (jax.lax.dot_general(mine, ghi_vmem[:],
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(mine, glo_vmem[:],
+                                         dimension_numbers=dn,
+                                         preferred_element_type=jnp.float32))
 
         @pl.when(ci >= 2)
         def _():   # the slot's previous writes must land before reuse
@@ -1149,14 +1168,42 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
             pltpu.make_async_copy(da_vmem.at[oslot], da_vmem.at[oslot],
                                   osems.at[oslot, 1]).wait()
 
-        acc = sel[:, 0:d_pad] * a[:, 0:1]
-        for b in range(1, n_b):
-            acc += sel[:, b * d_pad:(b + 1) * d_pad] * a[:, b:b + 1]
-        dmsg_vmem[oslot] = acc
-        da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
-        for b in range(n_b):
-            da_vmem[oslot, :, b:b + 1] = jnp.sum(
-                sel[:, b * d_pad:(b + 1) * d_pad] * m, axis=1, keepdims=True)
+        if variant in ("full", "da_matmul", "no_da"):
+            acc = sel[:, 0:d_pad] * a[:, 0:1]
+            for b in range(1, n_b):
+                acc += sel[:, b * d_pad:(b + 1) * d_pad] * a[:, b:b + 1]
+            dmsg_vmem[oslot] = acc
+        else:
+            dmsg_vmem[oslot] = sel[:, 0:d_pad]
+        if variant == "da_matmul":
+            # d_a[e, b] = sum_d sel[e, b, d] * m[e, d] as ONE matmul: the
+            # per-b products concatenate back to (E_t, B*d_pad) and contract
+            # against the 0/1 block indicator K[r, c] = (r // d_pad == c) —
+            # MXU work instead of 30 width-1 sublane stores + lane reduces
+            dprod = jnp.concatenate(
+                [sel[:, b * d_pad:(b + 1) * d_pad] * m
+                 for b in range(n_b)], axis=1)
+            khot = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_b * d_pad, 128), 0) // d_pad
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_b * d_pad, 128), 1)).astype(jnp.bfloat16)
+            dhi = dprod.astype(jnp.bfloat16)
+            dlo = (dprod - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            da_vmem[oslot] = (
+                jax.lax.dot_general(
+                    dhi, khot, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    dlo, khot, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+        elif variant in ("no_da", "no_dmsg", "dma_only"):
+            da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
+        else:
+            da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
+            for b in range(n_b):
+                da_vmem[oslot, :, b:b + 1] = jnp.sum(
+                    sel[:, b * d_pad:(b + 1) * d_pad] * m, axis=1,
+                    keepdims=True)
 
         e0 = pl.multiple_of((c0 + ci) * tile_e, tile_e)
         pltpu.make_async_copy(dmsg_vmem.at[oslot],
@@ -1187,10 +1234,10 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tile_n", "tile_e",
-                                             "n_b", "interpret"))
+                                             "n_b", "interpret", "variant"))
 def _basis_bwd_call(g128, msgp, ap, dstp, chunk_bounds,
                     n_tiles: int, tile_n: int, tile_e: int, n_b: int,
-                    interpret: bool = False):
+                    interpret: bool = False, variant: str = "full"):
     """(n_tiles*tile_n, B*d_pad) padded cotangent rows + padded-edge-order
     msg/a/dst -> (E_pad2, d_pad) d_msg and (E_pad2, 128) d_a (first n_b
     columns real)."""
@@ -1199,7 +1246,7 @@ def _basis_bwd_call(g128, msgp, ap, dstp, chunk_bounds,
     b128 = ap.shape[1]
     dmsg, da = pl.pallas_call(
         functools.partial(_basis_bwd_kernel, tile_n=tile_n, tile_e=tile_e,
-                          n_b=n_b, d_pad=d_pad),
+                          n_b=n_b, d_pad=d_pad, variant=variant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -1281,10 +1328,17 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
         # 21.8 ms/step of large-source gathers)
         msgp = _pad_cols(x[srcp] * normp[:, None])
         ap = _pad_cols(coeff[relp])
+        # timing-only variants must never reach training — route them back
+        # to the full schedule; 'da_matmul' is numerics-equivalent
+        var = BASIS_BWD_VARIANT if BASIS_BWD_VARIANT == "da_matmul" \
+            else "full"
         dmsg_pad, da_pad = _basis_bwd_call(
             gflat, msgp, ap, dstp, chunk_bounds,
-            n_tiles, tile_n, tile_e, n_b, interpret)
-        contrib_s = dmsg_pad[sperm_pad][:, :d] * s_normp[:, None]
+            n_tiles, tile_n, tile_e, n_b, interpret, var)
+        if BASIS_READBACK == "narrow":
+            contrib_s = dmsg_pad[:, :d][sperm_pad] * s_normp[:, None]
+        else:
+            contrib_s = dmsg_pad[sperm_pad][:, :d] * s_normp[:, None]
         # d_coeff straight from the padded space: padding entries mask to
         # zero, so no (E,) readback gather is needed
         d_coeff = _segment_sum_few(

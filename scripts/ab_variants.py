@@ -85,6 +85,12 @@ def build(overrides):
     import kgc_gcn_tpu.models.rgat as rgat_mod
     rgat_mod.RGAT_LAYOUT = kw.pop(
         "rgat_layout", os.environ.get("KGC_RGAT_LAYOUT", "3d"))
+    sp.BASIS_BWD_VARIANT = kw.pop(
+        "basis_bwd_variant", os.environ.get("KGC_BASIS_BWD_VARIANT", "full"))
+    sp.BASIS_READBACK = kw.pop(
+        "basis_readback", os.environ.get("KGC_BASIS_READBACK", "wide"))
+    sp.BASIS_FWD_TILE_N = int(kw.pop(
+        "basis_fwd_tile_n", os.environ.get("KGC_BASIS_FWD_TILE_N", 0)))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

@@ -104,6 +104,7 @@ def main(scope="all"):
         return lambda: run(*arrs)
 
     only = {"band": ("bwd_band",),
+            "readback": ("bwd_readback",),
             "kernels": ("fwd_kernel", "bwd_band")}.get(scope)
 
     def want(name):
@@ -187,7 +188,7 @@ def main(scope="all"):
             n_tiles, tile_n, tile_e = meta
             dmsg, da = sp._basis_bwd_call(gflat + c, msgp, ap, dstp, cb,
                                           n_tiles, tile_n, tile_e, n_b,
-                                          interp)
+                                          interp, sp.BASIS_BWD_VARIANT)
             c = c + dmsg[0, 0] + da[0, 0]
         return c
     if want("bwd_band"):
@@ -214,6 +215,17 @@ def main(scope="all"):
     if want("bwd_readback"):
         results["bwd_readback"] = timed(scan(
             bwd_readback, fixed_out["inb"][0], fixed_out["outb"][0]))
+
+        def bwd_readback_narrow(c, b, dm0, dm1):
+            for name, dmsg_pad in zip(("inb", "outb"), (dm0, dm1)):
+                (_, _, _, _, _, _, maskp, relp, sperm_pad, s_normp) = \
+                    fixed_bwd[name]
+                contrib_s = (dmsg_pad + c)[:, :d][sperm_pad] \
+                    * s_normp[:, None]
+                c = c + contrib_s[0, 0]
+            return c
+        results["bwd_readback_narrow"] = timed(scan(
+            bwd_readback_narrow, fixed_out["inb"][0], fixed_out["outb"][0]))
 
     def bwd_dx(c, b):
         for name, h in zip(("inb", "outb"), halves):
@@ -281,7 +293,8 @@ def main(scope="all"):
     print(json.dumps({
         "scope": scope, "ms_per_step": per_step, "plan_meta": meta,
         "tile_env": {k: os.environ.get(k) for k in
-                     ("KGC_BASIS_TILE_N", "KGC_BASIS_TILE_E")},
+                     ("KGC_BASIS_TILE_N", "KGC_BASIS_TILE_E",
+                      "KGC_BASIS_BWD_VARIANT", "KGC_BASIS_FWD_TILE_N")},
         "steps_per_s_full": (round(STEPS / results["full"], 1)
                              if "full" in results else None)}))
 

@@ -529,3 +529,40 @@ def test_basis_fused_band_backward_matches_fallback(toy):
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"{name} d_coeff")
+
+
+def test_basis_band_backward_da_matmul_variant_matches(toy, monkeypatch):
+    """KGC_BASIS_BWD_VARIANT=da_matmul (d_a via the hi/lo MXU matmul against
+    the 0/1 block indicator, round-5 candidate) == the column-store schedule
+    == the XLA oracle — d_x and d_coeff."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    from kgc_gcn_tpu.ops.spmm_pallas import (
+        basis_aggregate_fused, build_basis_bwd_plan)
+    ds, g, _ = toy
+    rng = np.random.default_rng(13)
+    d, nb = 8, 3
+    n = ds.num_entity
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    coeff = jnp.asarray(
+        rng.normal(size=(2 * ds.num_relation, nb)).astype(np.float32))
+    half = g.inb
+    plan_arrays, plan_meta_ = build_basis_bwd_plan(half, n)
+    w = jnp.asarray(rng.normal(size=(n, nb, d)).astype(np.float32))
+
+    def grads():
+        def f(xv, cv):
+            agg = basis_aggregate_fused(
+                xv, cv, half.src, half.dst, half.rel, half.norm,
+                half.indptr, half.sperm, half.s_indptr, half.s_src,
+                (half.rperm, half.r_indptr, half.r_rel), plan_arrays,
+                n, nb, True, plan_meta_)
+            return jnp.sum(agg * w)
+        return jax.grad(f, argnums=(0, 1))(x, coeff)
+
+    monkeypatch.setattr(sp, "BASIS_BWD_VARIANT", "full")
+    g_full = grads()
+    monkeypatch.setattr(sp, "BASIS_BWD_VARIANT", "da_matmul")
+    g_mm = grads()
+    for a, b, name in zip(g_mm, g_full, ("d_x", "d_coeff")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
