@@ -68,6 +68,11 @@ BASIS_READBACK = os.environ.get("KGC_BASIS_READBACK", "wide")
 #   padded rows then slices to d; 'narrow' slices to d FIRST and gathers
 #   d-wide (row gathers from a 128-lane array measured 2.3x slower than
 #   from a native-width one — BENCH_NOTES lore #5)
+BASIS_FWD_VARIANT = os.environ.get("KGC_BASIS_FWD_VARIANT", "loop")
+#   basis FORWARD kernel inner schedule: 'loop' = per-b expansion + 2 MXU
+#   row-select matmuls per basis (round 4); 'v3d' = ONE (tile_e, B*d_pad)
+#   3D expansion + ONE hi/lo matmul pair for the whole out block (no
+#   30-iteration VPU loop) — round-5 candidate, numerics-equivalent
 BASIS_BWD_VARIANT = os.environ.get("KGC_BASIS_BWD_VARIANT", "full")
 #   band backward kernel inner-schedule variants (round-5 attribution +
 #   candidates; A/B via ab_variants basis_bwd_variant:):
@@ -882,7 +887,7 @@ def segment_max_sorted(logits: jax.Array, seg: jax.Array, indptr: jax.Array,
 
 def _basis_kernel(bounds_ref, msg_hbm, a_hbm, dst_hbm, out_ref,
                   msg_vmem, a_vmem, dst_vmem, sems,
-                  *, tile_n, tile_e, n_b, d_pad):
+                  *, tile_n, tile_e, n_b, d_pad, variant="loop"):
     """Fused basis-decomposed aggregation: out[n, b*d:(b+1)*d] =
     Σ_{e: dst_e = n} a[e, b] * msg[e, :].
 
@@ -939,6 +944,36 @@ def _basis_kernel(bounds_ref, msg_hbm, a_hbm, dst_hbm, out_ref,
         onehot_t = (rows == dst_vmem[slot]).astype(jnp.bfloat16)
         m = msg_vmem[slot]
         a = a_vmem[slot]
+        if variant == "v3d":
+            # one (tile_e, B*d_pad) expansion + one hi/lo matmul pair for
+            # the whole out block — no per-basis VPU loop (round 5).  The
+            # coefficient expands into lane layout via a tiny hi/lo MXU
+            # matmul against the (B, B*d_pad) block indicator (a (E_t, B, 1)
+            # broadcast view is an unsupported lane->sublane 3D gather in
+            # Mosaic); the message tiles along lanes with a concat.
+            krows = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_b, n_b * d_pad), 1) // d_pad
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_b, n_b * d_pad), 0)).astype(jnp.bfloat16)
+            an = a[:, :n_b]
+            ahi = an.astype(jnp.bfloat16)
+            alo = (an - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn2 = (((1,), (0,)), ((), ()))
+            a_exp = (jax.lax.dot_general(
+                ahi, krows, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    alo, krows, dimension_numbers=dn2,
+                    preferred_element_type=jnp.float32))
+            exp3 = jnp.concatenate([m] * n_b, axis=1) * a_exp
+            hi = exp3.astype(jnp.bfloat16)
+            lo = (exp3 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:, :] += (
+                jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
+                                      preferred_element_type=jnp.float32))
+            return 0
         for b in range(n_b):          # static: B is a config constant
             sb = m * a[:, b:b + 1]
             hi = sb.astype(jnp.bfloat16)
@@ -953,9 +988,10 @@ def _basis_kernel(bounds_ref, msg_hbm, a_hbm, dst_hbm, out_ref,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "n_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_b", "interpret",
+                                             "fwd_variant"))
 def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
-                      interpret: bool = False):
+                      interpret: bool = False, fwd_variant: str = "loop"):
     """(E, d) messages + (E, B) coefficients + sorted dst ->
     (n_rows, B*d_pad) f32 (caller reshapes/slices)."""
     e_orig, d_orig = msg.shape
@@ -985,7 +1021,7 @@ def _basis_fused_call(msg, a, dst, indptr, n_rows: int, n_b: int,
     bounds = indptr[tile_rows].astype(jnp.int32)
 
     kernel = functools.partial(_basis_kernel, tile_n=tile_n, tile_e=tile_e,
-                               n_b=n_b, d_pad=d_pad)
+                               n_b=n_b, d_pad=d_pad, variant=fwd_variant)
 
     out = pl.pallas_call(
         kernel,
@@ -1168,7 +1204,35 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
             pltpu.make_async_copy(da_vmem.at[oslot], da_vmem.at[oslot],
                                   osems.at[oslot, 1]).wait()
 
-        if variant in ("full", "da_matmul", "no_da"):
+        if variant == "v3d":
+            # one 3D view of sel serves BOTH cotangents: d_msg reduces over
+            # the basis dim, d_a over the lane dim — no 30-iteration VPU
+            # dependency chains, no width-1 column stores (the round-5
+            # attribution put the sequential acc loop at ~9.2 of the 18 ms).
+            # The per-(edge, basis) coefficient broadcast cannot be a
+            # (E_t, B, 1) view — Mosaic lowers that lane->sublane move as an
+            # unsupported 3D gather — so a rides a tiny hi/lo MXU matmul
+            # against the (B, B*d_pad) block indicator into lane layout.
+            sel3 = sel.reshape(tile_e, n_b, d_pad)
+            krows = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_b, n_b * d_pad), 1) // d_pad
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_b, n_b * d_pad), 0)).astype(jnp.bfloat16)
+            an = a[:, :n_b]
+            ahi = an.astype(jnp.bfloat16)
+            alo = (an - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn2 = (((1,), (0,)), ((), ()))
+            a_exp = (jax.lax.dot_general(
+                ahi, krows, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    alo, krows, dimension_numbers=dn2,
+                    preferred_element_type=jnp.float32))
+            dmsg_vmem[oslot] = jnp.sum(
+                (sel * a_exp).reshape(tile_e, n_b, d_pad), axis=1)
+            da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
+            da_vmem[oslot, :, :n_b] = jnp.sum(sel3 * m[:, None, :], axis=2)
+        elif variant in ("full", "da_matmul", "no_da"):
             acc = sel[:, 0:d_pad] * a[:, 0:1]
             for b in range(1, n_b):
                 acc += sel[:, b * d_pad:(b + 1) * d_pad] * a[:, b:b + 1]
@@ -1198,7 +1262,7 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
                     preferred_element_type=jnp.float32))
         elif variant in ("no_da", "no_dmsg", "dma_only"):
             da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
-        else:
+        elif variant != "v3d":
             da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
             for b in range(n_b):
                 da_vmem[oslot, :, b:b + 1] = jnp.sum(
@@ -1295,7 +1359,8 @@ def basis_aggregate_fused(x, coeff, src, dst, rel, norm,
     d = x.shape[1]
     msg = x[src] * norm[:, None]
     a = coeff[rel]
-    out = _basis_fused_call(msg, a, dst, indptr, n_ent, n_b, interpret)
+    out = _basis_fused_call(msg, a, dst, indptr, n_ent, n_b, interpret,
+                            BASIS_FWD_VARIANT)
     d_pad = -(-d // 128) * 128
     return out.reshape(n_ent, n_b, d_pad)[:, :, :d]
 
@@ -1329,9 +1394,9 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
         msgp = _pad_cols(x[srcp] * normp[:, None])
         ap = _pad_cols(coeff[relp])
         # timing-only variants must never reach training — route them back
-        # to the full schedule; 'da_matmul' is numerics-equivalent
-        var = BASIS_BWD_VARIANT if BASIS_BWD_VARIANT == "da_matmul" \
-            else "full"
+        # to the full schedule; 'da_matmul'/'v3d' are numerics-equivalent
+        var = BASIS_BWD_VARIANT if BASIS_BWD_VARIANT in (
+            "da_matmul", "v3d") else "full"
         dmsg_pad, da_pad = _basis_bwd_call(
             gflat, msgp, ap, dstp, chunk_bounds,
             n_tiles, tile_n, tile_e, n_b, interpret, var)

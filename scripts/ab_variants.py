@@ -91,6 +91,8 @@ def build(overrides):
         "basis_readback", os.environ.get("KGC_BASIS_READBACK", "wide"))
     sp.BASIS_FWD_TILE_N = int(kw.pop(
         "basis_fwd_tile_n", os.environ.get("KGC_BASIS_FWD_TILE_N", 0)))
+    sp.BASIS_FWD_VARIANT = kw.pop(
+        "basis_fwd_variant", os.environ.get("KGC_BASIS_FWD_VARIANT", "loop"))
     cfg = dataset_preset("WN18RR", **kw)
     model = build_model(cfg, n_ent, n_rel, n_edge, e_pad=graph.e_pad)
     params, state = model.init(jax.random.PRNGKey(0))

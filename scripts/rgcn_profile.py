@@ -132,7 +132,8 @@ def main(scope="all"):
     def fwd_kernel(c, b, m0, a0, m1, a1):
         for h, (msg, a) in zip(halves, ((m0, a0), (m1, a1))):
             agg = sp._basis_fused_call(msg + c, a, h.dst, h.indptr,
-                                       n_ent, n_b, interp)
+                                       n_ent, n_b, interp,
+                                       sp.BASIS_FWD_VARIANT)
             c = c + agg[0, 0]
         return c
     if want("fwd_kernel"):
@@ -294,7 +295,8 @@ def main(scope="all"):
         "scope": scope, "ms_per_step": per_step, "plan_meta": meta,
         "tile_env": {k: os.environ.get(k) for k in
                      ("KGC_BASIS_TILE_N", "KGC_BASIS_TILE_E",
-                      "KGC_BASIS_BWD_VARIANT", "KGC_BASIS_FWD_TILE_N")},
+                      "KGC_BASIS_BWD_VARIANT", "KGC_BASIS_FWD_TILE_N",
+                      "KGC_BASIS_FWD_VARIANT")},
         "steps_per_s_full": (round(STEPS / results["full"], 1)
                              if "full" in results else None)}))
 

@@ -531,10 +531,12 @@ def test_basis_fused_band_backward_matches_fallback(toy):
                                    err_msg=f"{name} d_coeff")
 
 
-def test_basis_band_backward_da_matmul_variant_matches(toy, monkeypatch):
-    """KGC_BASIS_BWD_VARIANT=da_matmul (d_a via the hi/lo MXU matmul against
-    the 0/1 block indicator, round-5 candidate) == the column-store schedule
-    == the XLA oracle — d_x and d_coeff."""
+@pytest.mark.parametrize("variant", ["da_matmul", "v3d"])
+def test_basis_band_backward_variant_matches(toy, monkeypatch, variant):
+    """The numerics-equivalent band-backward schedule variants (round 5:
+    'da_matmul' = d_a via the hi/lo MXU block-indicator matmul; 'v3d' = one
+    3D view reduced over basis/lane dims for d_msg/d_a) == the column-store
+    schedule — d_x and d_coeff."""
     import kgc_gcn_tpu.ops.spmm_pallas as sp
     from kgc_gcn_tpu.ops.spmm_pallas import (
         basis_aggregate_fused, build_basis_bwd_plan)
@@ -561,8 +563,33 @@ def test_basis_band_backward_da_matmul_variant_matches(toy, monkeypatch):
 
     monkeypatch.setattr(sp, "BASIS_BWD_VARIANT", "full")
     g_full = grads()
-    monkeypatch.setattr(sp, "BASIS_BWD_VARIANT", "da_matmul")
+    monkeypatch.setattr(sp, "BASIS_BWD_VARIANT", variant)
     g_mm = grads()
     for a, b, name in zip(g_mm, g_full, ("d_x", "d_coeff")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_basis_fwd_v3d_variant_matches(toy, monkeypatch):
+    """KGC_BASIS_FWD_VARIANT=v3d (one 3D expansion + one hi/lo matmul pair
+    for the whole out block) == the per-basis loop schedule — forward
+    aggregation values."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    ds, g, _ = toy
+    rng = np.random.default_rng(17)
+    d, nb = 8, 3
+    n = ds.num_entity
+    half = g.inb
+    msg = jnp.asarray(rng.normal(size=(half.src.shape[0], d))
+                      .astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(half.src.shape[0], nb))
+                    .astype(np.float32))
+    out_loop = sp._basis_fused_call(msg, a, half.dst, half.indptr, n, nb,
+                                    True, "loop")
+    out_v3d = sp._basis_fused_call(msg, a, half.dst, half.indptr, n, nb,
+                                   True, "v3d")
+    # v3d expands the coefficient through its own bf16 hi/lo split (the
+    # loop splits the composed product instead) — agreement is to hi/lo
+    # double precision (~1.5e-5 relative), same as the kernel-vs-XLA gates
+    np.testing.assert_allclose(np.asarray(out_v3d), np.asarray(out_loop),
+                               rtol=2e-4, atol=5e-5)
