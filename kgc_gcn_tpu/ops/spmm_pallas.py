@@ -974,6 +974,35 @@ def _basis_kernel(bounds_ref, msg_hbm, a_hbm, dst_hbm, out_ref,
                 + jax.lax.dot_general(onehot_t, lo, dimension_numbers=dn,
                                       preferred_element_type=jnp.float32))
             return 0
+        if variant == "aexp":
+            # per-basis loop, but the coefficient comes from a lane-layout
+            # expansion (one hi/lo MXU matmul vs the block indicator) — no
+            # (E_t, 1) lane-extract broadcast per basis
+            krows = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_b, n_b * d_pad), 1) // d_pad
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_b, n_b * d_pad), 0)).astype(jnp.bfloat16)
+            an = a[:, :n_b]
+            ahi = an.astype(jnp.bfloat16)
+            alo = (an - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn2 = (((1,), (0,)), ((), ()))
+            a_exp = (jax.lax.dot_general(
+                ahi, krows, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    alo, krows, dimension_numbers=dn2,
+                    preferred_element_type=jnp.float32))
+            for b in range(n_b):
+                sb = m * a_exp[:, b * d_pad:(b + 1) * d_pad]
+                hi = sb.astype(jnp.bfloat16)
+                lo = (sb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                out_ref[:, b * d_pad:(b + 1) * d_pad] += (
+                    jax.lax.dot_general(onehot_t, hi, dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(onehot_t, lo,
+                                          dimension_numbers=dn,
+                                          preferred_element_type=jnp.float32))
+            return 0
         for b in range(n_b):          # static: B is a config constant
             sb = m * a[:, b:b + 1]
             hi = sb.astype(jnp.bfloat16)
@@ -1232,6 +1261,41 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
                 (sel * a_exp).reshape(tile_e, n_b, d_pad), axis=1)
             da_vmem[oslot] = jnp.zeros_like(da_vmem[oslot])
             da_vmem[oslot, :, :n_b] = jnp.sum(sel3 * m[:, None, :], axis=2)
+        elif variant == "aexp_da_matmul":
+            # expand a into LANE layout once (hi/lo MXU vs the block
+            # indicator) so the d_msg loop is pure full-lane mul/adds — no
+            # per-basis (E_t, 1) lane-extract broadcasts (hypothesis from
+            # the tree-null: the acc loop's cost is the 30 lane-strided
+            # coefficient reads, not the add chain)
+            krows = (jax.lax.broadcasted_iota(
+                jnp.int32, (n_b, n_b * d_pad), 1) // d_pad
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_b, n_b * d_pad), 0)).astype(jnp.bfloat16)
+            an = a[:, :n_b]
+            ahi = an.astype(jnp.bfloat16)
+            alo = (an - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn2 = (((1,), (0,)), ((), ()))
+            a_exp = (jax.lax.dot_general(
+                ahi, krows, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    alo, krows, dimension_numbers=dn2,
+                    preferred_element_type=jnp.float32))
+            d2 = sel * a_exp
+            acc = d2[:, 0:d_pad]
+            for b in range(1, n_b):
+                acc += d2[:, b * d_pad:(b + 1) * d_pad]
+            dmsg_vmem[oslot] = acc
+        elif variant in ("tree", "tree_da_matmul"):
+            # balanced-tree reduction of the per-basis products (depth
+            # ceil(log2 B) instead of a 30-deep sequential add chain)
+            parts = [sel[:, b * d_pad:(b + 1) * d_pad] * a[:, b:b + 1]
+                     for b in range(n_b)]
+            while len(parts) > 1:
+                parts = [parts[i] + parts[i + 1]
+                         if i + 1 < len(parts) else parts[i]
+                         for i in range(0, len(parts), 2)]
+            dmsg_vmem[oslot] = parts[0]
         elif variant in ("full", "da_matmul", "no_da"):
             acc = sel[:, 0:d_pad] * a[:, 0:1]
             for b in range(1, n_b):
@@ -1239,7 +1303,7 @@ def _basis_bwd_kernel(bounds_ref, g_hbm, msgp_hbm, ap_hbm, dstp_hbm,
             dmsg_vmem[oslot] = acc
         else:
             dmsg_vmem[oslot] = sel[:, 0:d_pad]
-        if variant == "da_matmul":
+        if variant in ("da_matmul", "tree_da_matmul", "aexp_da_matmul"):
             # d_a[e, b] = sum_d sel[e, b, d] * m[e, d] as ONE matmul: the
             # per-b products concatenate back to (E_t, B*d_pad) and contract
             # against the 0/1 block indicator K[r, c] = (r // d_pad == c) —
@@ -1394,9 +1458,10 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
         msgp = _pad_cols(x[srcp] * normp[:, None])
         ap = _pad_cols(coeff[relp])
         # timing-only variants must never reach training — route them back
-        # to the full schedule; 'da_matmul'/'v3d' are numerics-equivalent
+        # to the full schedule; these are numerics-equivalent
         var = BASIS_BWD_VARIANT if BASIS_BWD_VARIANT in (
-            "da_matmul", "v3d") else "full"
+            "da_matmul", "v3d", "tree", "tree_da_matmul",
+            "aexp_da_matmul") else "full"
         dmsg_pad, da_pad = _basis_bwd_call(
             gflat, msgp, ap, dstp, chunk_bounds,
             n_tiles, tile_n, tile_e, n_b, interpret, var)

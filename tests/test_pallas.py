@@ -531,7 +531,7 @@ def test_basis_fused_band_backward_matches_fallback(toy):
                                    err_msg=f"{name} d_coeff")
 
 
-@pytest.mark.parametrize("variant", ["da_matmul", "v3d"])
+@pytest.mark.parametrize("variant", ["da_matmul", "v3d", "tree", "tree_da_matmul", "aexp_da_matmul"])
 def test_basis_band_backward_variant_matches(toy, monkeypatch, variant):
     """The numerics-equivalent band-backward schedule variants (round 5:
     'da_matmul' = d_a via the hi/lo MXU block-indicator matmul; 'v3d' = one
@@ -570,7 +570,8 @@ def test_basis_band_backward_variant_matches(toy, monkeypatch, variant):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
-def test_basis_fwd_v3d_variant_matches(toy, monkeypatch):
+@pytest.mark.parametrize("fv", ["v3d", "aexp"])
+def test_basis_fwd_variant_matches(toy, monkeypatch, fv):
     """KGC_BASIS_FWD_VARIANT=v3d (one 3D expansion + one hi/lo matmul pair
     for the whole out block) == the per-basis loop schedule — forward
     aggregation values."""
@@ -587,7 +588,7 @@ def test_basis_fwd_v3d_variant_matches(toy, monkeypatch):
     out_loop = sp._basis_fused_call(msg, a, half.dst, half.indptr, n, nb,
                                     True, "loop")
     out_v3d = sp._basis_fused_call(msg, a, half.dst, half.indptr, n, nb,
-                                   True, "v3d")
+                                   True, fv)
     # v3d expands the coefficient through its own bf16 hi/lo split (the
     # loop splits the composed product instead) — agreement is to hi/lo
     # double precision (~1.5e-5 relative), same as the kernel-vs-XLA gates
