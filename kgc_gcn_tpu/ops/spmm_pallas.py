@@ -56,7 +56,7 @@ BF16_CAST = os.environ.get("KGC_BF16_CAST", "pre")
 #   after it (keeps the gather fused where bf16 convert+gather unfuses into
 #   a layout copy — the stacked_xla bf16 FB15k regression, BENCH_NOTES r3;
 #   measured no fix either way there, kept as a documented knob)
-BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 64))
+BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 128))
 BASIS_TILE_E = int(os.environ.get("KGC_BASIS_TILE_E", 256))
 BASIS_FWD_TILE_N = int(os.environ.get("KGC_BASIS_FWD_TILE_N", 0))
 #   >0 pins the basis FORWARD kernel's dst-row tile (otherwise derived from
@@ -73,14 +73,18 @@ BASIS_FWD_VARIANT = os.environ.get("KGC_BASIS_FWD_VARIANT", "loop")
 #   row-select matmuls per basis (round 4); 'v3d' = ONE (tile_e, B*d_pad)
 #   3D expansion + ONE hi/lo matmul pair for the whole out block (no
 #   30-iteration VPU loop) — round-5 candidate, numerics-equivalent
-BASIS_BWD_VARIANT = os.environ.get("KGC_BASIS_BWD_VARIANT", "full")
+BASIS_BWD_VARIANT = os.environ.get("KGC_BASIS_BWD_VARIANT", "da_matmul")
 #   band backward kernel inner-schedule variants (round-5 attribution +
-#   candidates; A/B via ab_variants basis_bwd_variant:):
+#   ladder; A/B via ab_variants basis_bwd_variant:):
+#   'da_matmul' — DEFAULT since round 5: d_a via ONE hi/lo MXU matmul
+#                 against the 0/1 block indicator (replaces 30 width-1
+#                 sublane stores + 30 lane reductions per chunk); with
+#                 BASIS_TILE_N=128 measured 16.0 vs 18.1 ms band-only and
+#                 21.8 -> 22.9 steps/s end-to-end at FB15k config 3
 #   'full'      — per-b VPU acc loop for d_msg + per-b lane-reduce with
 #                 width-1 column stores for d_a (the round-4 schedule)
-#   'da_matmul' — d_a via ONE hi/lo MXU matmul against the 0/1 block
-#                 indicator (replaces 30 width-1 sublane stores + 30 lane
-#                 reductions per chunk); numerics-equivalent candidate
+#   'v3d'/'tree'/'tree_da_matmul'/'aexp_da_matmul' — measured NEGATIVE
+#                 (BENCH_NOTES round-5 ladder); kept for re-measurement
 #   'no_da' / 'no_dmsg' / 'dma_only' — TIMING-ONLY attribution variants
 #                 (skip that piece; outputs wrong) — never use in training
 #   dst-row-tile / edge-chunk sizes of the basis BACKWARD band kernel

@@ -79,14 +79,14 @@ def build(overrides):
         "sperm_barrier",
         os.environ.get("KGC_SPERM_BARRIER", "0"))) == "1"
     sp.BASIS_TILE_N = int(kw.pop(
-        "basis_tile_n", os.environ.get("KGC_BASIS_TILE_N", 64)))
+        "basis_tile_n", os.environ.get("KGC_BASIS_TILE_N", 128)))
     sp.BASIS_TILE_E = int(kw.pop(
         "basis_tile_e", os.environ.get("KGC_BASIS_TILE_E", 256)))
     import kgc_gcn_tpu.models.rgat as rgat_mod
     rgat_mod.RGAT_LAYOUT = kw.pop(
         "rgat_layout", os.environ.get("KGC_RGAT_LAYOUT", "3d"))
     sp.BASIS_BWD_VARIANT = kw.pop(
-        "basis_bwd_variant", os.environ.get("KGC_BASIS_BWD_VARIANT", "full"))
+        "basis_bwd_variant", os.environ.get("KGC_BASIS_BWD_VARIANT", "da_matmul"))
     sp.BASIS_READBACK = kw.pop(
         "basis_readback", os.environ.get("KGC_BASIS_READBACK", "wide"))
     sp.BASIS_FWD_TILE_N = int(kw.pop(
