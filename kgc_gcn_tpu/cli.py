@@ -104,7 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mult", "sub", "corr"],
                    help="entity-relation message composition (CompGCN family)")
     p.add_argument("--num_bases", default=0, type=int)
-    p.add_argument("--num_blocks", default=0, type=int)
+    p.add_argument("--num_blocks", default=0, type=int,
+                   help="rgcn: block-diagonal relation weights (0 = basis "
+                        "mode).  PARITY-ONLY path: measured 1.62 steps/s at "
+                        "FB15k config 3 vs 22.9 for basis kernels (round 5, "
+                        "bench.py rgcn_block) — the per-edge weight gather "
+                        "+ tiny batched einsums have no MXU-friendly "
+                        "schedule; prefer --num_bases")
     p.add_argument("--train_mode", default="one_vs_all",
                    choices=["one_vs_all", "negative_sampling"])
     p.add_argument("--num_negatives", default=64, type=int)
@@ -115,7 +121,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "self-adversarial weighting")
     p.add_argument("--neg_margin", default=1.0, type=float)
     p.add_argument("--neg_adversarial_temp", default=1.0, type=float)
-    p.add_argument("--edge_sample_size", default=0, type=int)
+    p.add_argument("--edge_sample_size", default=0, type=int,
+                   help="per-half per-step edge subsample K (0 = full "
+                        "graph).  Unbiased (E/K-rescaled, with-replacement) "
+                        "but UNSORTED, so aggregation runs XLA's unsorted "
+                        "scatter and the kernel path is off.  Measured "
+                        "round 5 (bench.py sampled, WN18RR scale): K=E/8 "
+                        "157 steps/s vs full-graph kernels 129 (+22%); "
+                        "K=E/4 134 (break-even); K=E/2 93 (loses) — pays "
+                        "only when K <= E/4, at a gradient-variance cost "
+                        "the full-graph path does not have")
     p.add_argument("--loss_impl", default="auto",
                    choices=["auto", "dense", "sparse", "fused"],
                    help="one-vs-all BCE implementation (ops/fused_loss.py)")
