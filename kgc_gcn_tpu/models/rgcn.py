@@ -95,8 +95,16 @@ def _basis_aggregate(
         agg = jax.ops.segment_sum(
             weighted, half.dst, num_segments=n_ent, indices_are_sorted=True
         )                                          # (N, B, d_in)
+    basis = layer.basis
+    if agg.shape[2] != basis.shape[1]:
+        # BASIS_PAD='through': the kernel keeps the lane-padded d_pad width
+        # end-to-end; zero basis rows make the extra lanes exactly inert
+        # (and the backward cotangent arrives padded — no per-step pad of
+        # the big (N, B*d) stream)
+        basis = jnp.pad(
+            basis, ((0, 0), (0, agg.shape[2] - basis.shape[1]), (0, 0)))
     return jnp.einsum(
-        "nbd,bdo->no", agg, layer.basis,
+        "nbd,bdo->no", agg, basis,
         preferred_element_type=jnp.float32)
 
 

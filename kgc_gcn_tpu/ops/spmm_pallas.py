@@ -62,6 +62,18 @@ BASIS_FWD_TILE_N = int(os.environ.get("KGC_BASIS_FWD_TILE_N", 0))
 #   >0 pins the basis FORWARD kernel's dst-row tile (otherwise derived from
 #   TILE_N under a 1 MiB out-block cap).  The out block is
 #   (tile_n, B*d_pad) f32 VMEM — at B=30/d_pad=128, tile_n=128 is ~2 MiB.
+BASIS_PAD = os.environ.get("KGC_BASIS_PAD", "through")
+#   lane-padding placement for the basis kernels (d=100 -> d_pad=128):
+#   'through' — DEFAULT since round 5 (22.8 -> 24.2 steps/s end-to-end at
+#               FB15k config 3, one-session A/B): pad the SMALL tables
+#               (x, coeff, basis rows) and keep d_pad through the whole
+#               layer — gathers produce padded operands directly, the
+#               einsum contracts zero basis rows (exactly inert), and the
+#               backward cotangent arrives 128-wide with no pad
+#   'slice'   — pad the big (E,*) streams at the kernel boundary and slice
+#               the (N, B, d_pad) output back to d (the round-4 layout;
+#               cost ~7 ms/step of pad/slice copies — round-5 trace: g pad
+#               3.95, operand pads 1.7, slice 1.35)
 BASIS_READBACK = os.environ.get("KGC_BASIS_READBACK", "wide")
 #   the backward's s<->d readback permutation (6.8 ms/step of the 45.7 at
 #   FB15k config 3 — round-5 profile): 'wide' gathers the (E_pad2, 128)
@@ -1425,11 +1437,20 @@ def basis_aggregate_fused(x, coeff, src, dst, rel, norm,
     """
     del plan
     d = x.shape[1]
+    d_pad = -(-d // 128) * 128
+    if BASIS_PAD == "through":
+        # pad the SMALL tables; the (E, d_pad)/(E, 128) operands come out
+        # of the gathers already padded and the output stays (N, B, d_pad)
+        # (caller einsums against zero-padded basis rows — exactly inert)
+        msg = _pad_cols(x)[src] * norm[:, None]
+        a = _pad_cols(coeff)[rel]
+        out = _basis_fused_call(msg, a, dst, indptr, n_ent, n_b, interpret,
+                                BASIS_FWD_VARIANT)
+        return out.reshape(n_ent, n_b, d_pad)
     msg = x[src] * norm[:, None]
     a = coeff[rel]
     out = _basis_fused_call(msg, a, dst, indptr, n_ent, n_b, interpret,
                             BASIS_FWD_VARIANT)
-    d_pad = -(-d // 128) * 128
     return out.reshape(n_ent, n_b, d_pad)[:, :, :d]
 
 
@@ -1449,7 +1470,9 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
     # 128-aligned last dim are free, while reshaping (E, B*100) retiles and
     # measured 27 ms/step of pure copies at FB15k config 3 (round-4 trace)
     d_pad = -(-d // 128) * 128
-    g128 = jnp.pad(g, ((0, 0), (0, 0), (0, d_pad - d)))
+    # under BASIS_PAD='through' the cotangent arrives d_pad-wide already —
+    # this pad (3.95 ms/step of copies at FB15k config 3) becomes a no-op
+    g128 = jnp.pad(g, ((0, 0), (0, 0), (0, d_pad - g.shape[2])))
     if plan_meta is not None:
         (srcp, relp, normp, dstp, maskp, sperm_pad, s_normp,
          chunk_bounds) = plan
@@ -1459,8 +1482,14 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
         # padded-order operands gather from the SMALL x/coeff tables (the
         # pad_map indirection through (E, 128) intermediates measured
         # 21.8 ms/step of large-source gathers)
-        msgp = _pad_cols(x[srcp] * normp[:, None])
-        ap = _pad_cols(coeff[relp])
+        if BASIS_PAD == "through":
+            # gather FROM padded tables: the (E_pad2, *) operands come out
+            # 128-wide with no per-stream pad pass
+            msgp = _pad_cols(x)[srcp] * normp[:, None]
+            ap = _pad_cols(coeff)[relp]
+        else:
+            msgp = _pad_cols(x[srcp] * normp[:, None])
+            ap = _pad_cols(coeff[relp])
         # timing-only variants must never reach training — route them back
         # to the full schedule; these are numerics-equivalent
         var = BASIS_BWD_VARIANT if BASIS_BWD_VARIANT in (

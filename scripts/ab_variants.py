@@ -89,6 +89,8 @@ def build(overrides):
         "basis_bwd_variant", os.environ.get("KGC_BASIS_BWD_VARIANT", "da_matmul"))
     sp.BASIS_READBACK = kw.pop(
         "basis_readback", os.environ.get("KGC_BASIS_READBACK", "wide"))
+    sp.BASIS_PAD = kw.pop(
+        "basis_pad", os.environ.get("KGC_BASIS_PAD", "through"))
     sp.BASIS_FWD_TILE_N = int(kw.pop(
         "basis_fwd_tile_n", os.environ.get("KGC_BASIS_FWD_TILE_N", 0)))
     sp.BASIS_FWD_VARIANT = kw.pop(

@@ -594,3 +594,38 @@ def test_basis_fwd_variant_matches(toy, monkeypatch, fv):
     # double precision (~1.5e-5 relative), same as the kernel-vs-XLA gates
     np.testing.assert_allclose(np.asarray(out_v3d), np.asarray(out_loop),
                                rtol=2e-4, atol=5e-5)
+
+
+def test_basis_pad_through_matches_slice(toy, monkeypatch):
+    """KGC_BASIS_PAD=through (lane padding carried through the layer: padded
+    table gathers, padded kernel output, zero basis rows in the caller's
+    einsum) == the slice-at-the-boundary layout — values and d_x/d_coeff,
+    through the full RGCN encode."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    from kgc_gcn_tpu.config import dataset_preset
+    from kgc_gcn_tpu.models import build_model
+
+    ds, g, _ = toy
+    cfg = dataset_preset("Toy", gcn_in_dim=8, gcn_out_dim=32, k_w=4, k_h=8,
+                         num_filter=4, kernel_size=3, model="rgcn",
+                         decoder="distmult", num_bases=3, use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    model.prepare_kernels(g)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def val_and_grad():
+        def f(p):
+            ae, ar, _ = model.encode(p, state, g)
+            return jnp.sum(ae * jnp.cos(jnp.arange(ae.shape[1])))
+        v, gr = jax.value_and_grad(f)(params)
+        return (np.asarray(v), np.asarray(gr.entity_embedding),
+                np.asarray(gr.layers[0].coeff),
+                np.asarray(gr.layers[0].basis))
+
+    monkeypatch.setattr(sp, "BASIS_PAD", "slice")
+    ref = val_and_grad()
+    monkeypatch.setattr(sp, "BASIS_PAD", "through")
+    got = val_and_grad()
+    for a, b, name in zip(got, ref, ("val", "d_x", "d_coeff", "d_basis")):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=name)
