@@ -474,12 +474,16 @@ def test_rgat_segment_softmax_kernel_max_path(toy, monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_basis_fused_band_backward_matches_fallback(toy):
+def test_basis_fused_band_backward_matches_fallback(toy, monkeypatch):
     """basis_aggregate_fused: the dst-tile band backward (plan path) ==
     the XLA-contraction fallback (plan=None) == autodiff of the plain
-    segment-sum formulation — forward and d_x/d_coeff."""
+    segment-sum formulation — forward and d_x/d_coeff.  Pinned to the
+    'slice' pad ABI (d-width output); 'through' is covered by
+    test_basis_pad_through_matches_slice at the model level."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
     from kgc_gcn_tpu.ops.spmm_pallas import (
         basis_aggregate_fused, build_basis_bwd_plan)
+    monkeypatch.setattr(sp, "BASIS_PAD", "slice")
     ds, g, _ = toy
     rng = np.random.default_rng(11)
     d, nb = 8, 3
@@ -548,6 +552,7 @@ def test_basis_band_backward_variant_matches(toy, monkeypatch, variant):
     coeff = jnp.asarray(
         rng.normal(size=(2 * ds.num_relation, nb)).astype(np.float32))
     half = g.inb
+    monkeypatch.setattr(sp, "BASIS_PAD", "slice")   # d-width kernel ABI
     plan_arrays, plan_meta_ = build_basis_bwd_plan(half, n)
     w = jnp.asarray(rng.normal(size=(n, nb, d)).astype(np.float32))
 
