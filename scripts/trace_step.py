@@ -52,8 +52,16 @@ def main(mode="pallas"):
     ], axis=1).astype(np.int64)
     graph = build_graph(tri, n_ent, n_rel)
 
-    # pin the dtypes: trace-mode names must mean the same config regardless
-    # of preset evolution (FB15k-237 defaults to bf16 since round 3)
+    # pin the dtypes AND the module kernel knobs: trace-mode names must mean
+    # the same config regardless of preset/default evolution (FB15k-237
+    # defaults to bf16 since round 3; env still overrides for A/Bs)
+    import kgc_gcn_tpu.models.rgat as _rgat_mod
+    import kgc_gcn_tpu.ops.spmm_pallas as _sp
+    _rgat_mod.RGAT_LAYOUT = os.environ.get("KGC_RGAT_LAYOUT", "flat")
+    _sp.BASIS_BWD_VARIANT = os.environ.get(
+        "KGC_BASIS_BWD_VARIANT", "da_matmul")
+    _sp.BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 128))
+    _sp.BASIS_PAD = os.environ.get("KGC_BASIS_PAD", "through")
     cfg = dataset_preset("FB15k-237"
                          if mode.startswith(("fb15k", "rgcn")) else "WN18RR",
                          batch_size=batch, use_pallas=False,
