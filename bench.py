@@ -41,11 +41,16 @@ config under the requested name):
                     config 3 verbatim; /root/reference has no RGCN)
   rgcn_pallas       rgcn + the MXU CSR kernel on the (E, B*d_in) basis
                     aggregation (VMEM-adaptive edge tiles)
+  rgcn_best         rgcn_pallas + bf16 backward-readback stream (the RGCN
+                    record; generalization-gated)
+  rgcn_block        rgcn with block-diagonal weights (parity-only: 1.6
+                    steps/s measured round 5; 20-step scans — see _run)
+  sampled           BASELINE config 4: edge-subsampled training K sweep
+                    (E/8, E/4, E/2) + full-graph anchors, one JSON line
   eval              filtered-ranking EVALUATION throughput (queries/s)
   multichip         edge-partition scaling-efficiency harness (subprocess)
-  suite             every headline mode (pallas, best, fb15k_best,
-                    rgat_pallas, rgcn_pallas, eval) in sequential
-                    subprocesses — one JSON line each, so a driver capture
+  suite             every headline mode (SUITE_MODES — 10 since round 5)
+                    in sequential subprocesses — one JSON line each, so a driver capture
                     holds ALL the advertised numbers, not just the
                     default mode's
 
@@ -65,14 +70,15 @@ import numpy as np
 VALID_MODES = frozenset((
     "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
     "fb15k", "fb15k_best", "fb15k_sx", "rgat", "rgat_pallas", "rgcn",
-    "rgcn_pallas", "rgcn_block", "sampled", "eval", "multichip", "suite"))
+    "rgcn_pallas", "rgcn_best", "rgcn_block", "sampled", "eval",
+    "multichip", "suite"))
 
 # the modes the repo advertises as records — what `suite` re-measures.
 # fb15k_sx (the f32 FB15k record) and the rgat/rgcn XLA anchors are included
 # so a regression in the f32 record or a silent shrink of the kernel-vs-XLA
 # delta shows up in the driver artifact (round-4 verdict item 6).
 SUITE_MODES = ("pallas", "best", "fb15k_best", "fb15k_sx", "rgat",
-               "rgat_pallas", "rgcn", "rgcn_pallas", "eval")
+               "rgat_pallas", "rgcn", "rgcn_pallas", "rgcn_best", "eval")
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
@@ -291,13 +297,18 @@ def _run(mode: str):
         # (ops/spmm_pallas.py; BENCH_NOTES rounds 3-4)
         cfg = cfg.replace(model="rgat", decoder="distmult", num_heads=4,
                           use_pallas=True)
-    elif mode in ("rgcn", "rgcn_pallas"):
+    elif mode in ("rgcn", "rgcn_pallas", "rgcn_best"):
         # BASELINE.json config 3: "FB15k-237 (237 relations) with
         # basis-decomposition relation weights + negative sampling";
-        # rgcn_pallas adds the MXU CSR kernel on the basis aggregation
+        # rgcn_pallas adds the MXU CSR kernels on the basis aggregation;
+        # rgcn_best additionally permutes the backward readback stream in
+        # bf16 (24.1 -> 27.9 steps/s round 5; generalization-gated) — the
+        # family's analog of the fb15k_best bf16 profile
         cfg = cfg.replace(model="rgcn", decoder="distmult", num_bases=30,
                           train_mode="negative_sampling", num_negatives=64,
-                          use_pallas=(mode == "rgcn_pallas"))
+                          use_pallas=(mode != "rgcn"))
+        _sp.BASIS_READBACK = "bf16" if mode == "rgcn_best" else \
+            os.environ.get("KGC_BASIS_READBACK", "wide")
     elif mode == "rgcn_block":
         # config 3's OTHER decomposition ("basis/block" — the north star
         # names both): block-diagonal relation weights, edge-chunked under

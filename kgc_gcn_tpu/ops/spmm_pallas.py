@@ -1500,6 +1500,14 @@ def _basis_agg_bwd(n_ent, n_b, interpret, plan_meta, res, g):
             n_tiles, tile_n, tile_e, n_b, interpret, var)
         if BASIS_READBACK == "narrow":
             contrib_s = dmsg_pad[:, :d][sperm_pad] * s_normp[:, None]
+        elif BASIS_READBACK == "bf16":
+            # halve the permuted bytes: cast the padded d_msg to bf16
+            # BEFORE the s<->d gather; the d_x kernel accumulates f32
+            # (same contrib-in-bf16 scheme as MGCN's compute_dtype mode,
+            # edge_parallel.make_local_agg) — opt-in: ~2^-8 relative
+            # rounding on the entity-embedding grads
+            contrib_s = (dmsg_pad.astype(jnp.bfloat16)[sperm_pad]
+                         * s_normp[:, None].astype(jnp.bfloat16))
         else:
             contrib_s = dmsg_pad[sperm_pad][:, :d] * s_normp[:, None]
         # d_coeff straight from the padded space: padding entries mask to

@@ -115,14 +115,18 @@ def test_generalization_gate_rotate_decoder(sync_corpus):
     assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
-def test_generalization_gate_rgcn_basis(sync_corpus, use_pallas):
+@pytest.mark.parametrize("use_pallas,readback",
+                         [(False, "wide"), (True, "wide"), (True, "bf16")])
+def test_generalization_gate_rgcn_basis(sync_corpus, use_pallas, readback,
+                                        monkeypatch):
     """RGCN-basis learns the compositional structure on BOTH the XLA and
     kernel paths (round-4 verdict: the family whose perf the repo advertises
     had no learning gate).  The kernel path exercises the fused basis
     forward kernel AND the dst-tile band backward (prepare_kernels builds
     the plan; interpret mode off-TPU).  Gate is 6x chance with early stop,
     like the RGAT gate."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    monkeypatch.setattr(sp, "BASIS_READBACK", readback)
     ds, g, banks = sync_corpus
     cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
                          decoder="complex", batch_size=32,

@@ -634,3 +634,33 @@ def test_basis_pad_through_matches_slice(toy, monkeypatch):
     got = val_and_grad()
     for a, b, name in zip(got, ref, ("val", "d_x", "d_coeff", "d_basis")):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_basis_readback_bf16_close_to_f32(toy, monkeypatch):
+    """KGC_BASIS_READBACK=bf16 (opt-in: halve the s<->d permutation bytes)
+    keeps d_x within bf16 rounding of the f32 path; d_coeff is untouched."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    from kgc_gcn_tpu.config import dataset_preset
+    from kgc_gcn_tpu.models import build_model
+
+    ds, g, _ = toy
+    cfg = dataset_preset("Toy", gcn_in_dim=8, gcn_out_dim=32, k_w=4, k_h=8,
+                         num_filter=4, kernel_size=3, model="rgcn",
+                         decoder="distmult", num_bases=3, use_pallas=True)
+    model = build_model(cfg, ds.num_entity, ds.num_relation, ds.num_edge,
+                        e_pad=g.e_pad)
+    model.prepare_kernels(g)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def grad_x():
+        def f(p):
+            ae, _, _ = model.encode(p, state, g)
+            return jnp.sum(ae * jnp.cos(jnp.arange(ae.shape[1])))
+        return np.asarray(jax.grad(f)(params).entity_embedding)
+
+    monkeypatch.setattr(sp, "BASIS_READBACK", "wide")
+    ref = grad_x()
+    monkeypatch.setattr(sp, "BASIS_READBACK", "bf16")
+    got = grad_x()
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2 * scale)
