@@ -74,6 +74,10 @@ BASIS_PAD = os.environ.get("KGC_BASIS_PAD", "through")
 #               the (N, B, d_pad) output back to d (the round-4 layout;
 #               cost ~7 ms/step of pad/slice copies — round-5 trace: g pad
 #               3.95, operand pads 1.7, slice 1.35)
+EDGE_CONTRIB = os.environ.get("KGC_EDGE_CONTRIB", "f32")
+#   edge_compose backward's d_h contrib stream ('bf16' halves the (E, d)
+#   permutation bytes, f32 kernel accumulation — the RGCN readback trick
+#   applied to RGAT; opt-in, A/B via ab_variants edge_contrib:)
 BASIS_READBACK = os.environ.get("KGC_BASIS_READBACK", "wide")
 #   the backward's s<->d readback permutation (6.8 ms/step of the 45.7 at
 #   FB15k config 3 — round-5 profile): 'wide' gathers the (E_pad2, 128)
@@ -1574,7 +1578,12 @@ def _edge_compose_fwd(h, rel_mult, src, rel, sperm, s_indptr, s_src, rdata,
 def _edge_compose_bwd(n_rows, interpret, res, g):
     h, rel_mult, src, rel, sperm, s_indptr, s_src, rdata = res
     d = g.shape[1]
-    d_h = segment_sum_pallas((g * rel_mult[rel])[sperm], s_src, s_indptr,
+    contrib = g * rel_mult[rel]
+    if EDGE_CONTRIB == "bf16":
+        # halve the d_h permutation bytes (the round-5 RGCN readback trick;
+        # d_h still accumulates f32 in the kernel) — opt-in numerics knob
+        contrib = contrib.astype(jnp.bfloat16)
+    d_h = segment_sum_pallas(contrib[sperm], s_src, s_indptr,
                              n_rows, interpret=interpret)[:, :d]
     n_seg = rdata[1].shape[0] - 1
     d_rel = _segment_sum_few(g * h[src], rel, n_seg,

@@ -84,13 +84,15 @@ def build(overrides):
         "basis_tile_e", os.environ.get("KGC_BASIS_TILE_E", 256)))
     import kgc_gcn_tpu.models.rgat as rgat_mod
     rgat_mod.RGAT_LAYOUT = kw.pop(
-        "rgat_layout", os.environ.get("KGC_RGAT_LAYOUT", "3d"))
+        "rgat_layout", os.environ.get("KGC_RGAT_LAYOUT", "flat"))
     sp.BASIS_BWD_VARIANT = kw.pop(
         "basis_bwd_variant", os.environ.get("KGC_BASIS_BWD_VARIANT", "da_matmul"))
     sp.BASIS_READBACK = kw.pop(
         "basis_readback", os.environ.get("KGC_BASIS_READBACK", "wide"))
     sp.BASIS_PAD = kw.pop(
         "basis_pad", os.environ.get("KGC_BASIS_PAD", "through"))
+    sp.EDGE_CONTRIB = kw.pop(
+        "edge_contrib", os.environ.get("KGC_EDGE_CONTRIB", "f32"))
     sp.BASIS_FWD_TILE_N = int(kw.pop(
         "basis_fwd_tile_n", os.environ.get("KGC_BASIS_FWD_TILE_N", 0)))
     sp.BASIS_FWD_VARIANT = kw.pop(
