@@ -33,6 +33,8 @@ config under the requested name):
   bf16              pallas + bf16 matmul operands (f32 accumulation)
   fb15k             pallas at FB15k-237 scale (N=14541, R=237, E=272115)
   fb15k_best        fb15k + bf16 compute + bf16 moments (the FB15k record)
+  fb15k_cb          fb15k f32 + bf16 contrib[sperm] stream only (round 5:
+                    equals fb15k_best at far less precision loss)
   fb15k_sx          fb15k + stacked_xla (the full-precision FB15k record)
   rgat              RGAT family (4-head attention, distmult) at WN18RR scale
   rgat_pallas       rgat + the MXU CSR attention-aggregation kernel (+46%)
@@ -70,15 +72,16 @@ import numpy as np
 VALID_MODES = frozenset((
     "pallas", "best", "fused", "reference", "stacked", "stacked_xla", "bf16",
     "fb15k", "fb15k_best", "fb15k_sx", "rgat", "rgat_pallas", "rgcn",
-    "rgcn_pallas", "rgcn_best", "rgcn_block", "sampled", "eval",
+    "rgcn_pallas", "rgcn_best", "rgcn_block", "fb15k_cb", "sampled", "eval",
     "multichip", "suite"))
 
 # the modes the repo advertises as records — what `suite` re-measures.
 # fb15k_sx (the f32 FB15k record) and the rgat/rgcn XLA anchors are included
 # so a regression in the f32 record or a silent shrink of the kernel-vs-XLA
 # delta shows up in the driver artifact (round-4 verdict item 6).
-SUITE_MODES = ("pallas", "best", "fb15k_best", "fb15k_sx", "rgat",
-               "rgat_pallas", "rgcn", "rgcn_pallas", "rgcn_best", "eval")
+SUITE_MODES = ("pallas", "best", "fb15k_best", "fb15k_cb", "fb15k_sx",
+               "rgat", "rgat_pallas", "rgcn", "rgcn_pallas", "rgcn_best",
+               "eval")
 
 # plain-XLA (fused schedule, sorted segment-sum) v0 measured 2026-08-17 on
 # TPU v5 lite: 59 steps/s = 12.6 Medges/s. See BENCH_NOTES.md.
@@ -261,6 +264,7 @@ def _run(mode: str):
         "KGC_BASIS_BWD_VARIANT", "da_matmul")
     _sp.BASIS_TILE_N = int(os.environ.get("KGC_BASIS_TILE_N", 128))
     _sp.BASIS_PAD = os.environ.get("KGC_BASIS_PAD", "through")
+    _sp.MGCN_CONTRIB = os.environ.get("KGC_MGCN_CONTRIB", "f32")
     cfg = dataset_preset(
         "FB15k-237" if mode.startswith(("fb15k", "rgcn")) else "WN18RR",
         batch_size=batch, use_pallas=False,
@@ -278,6 +282,13 @@ def _run(mode: str):
         # (f32 accumulation) + bf16 moment storage
         cfg = cfg.replace(use_pallas=True, compute_dtype="bfloat16",
                           moment_dtype="bfloat16")
+    elif mode == "fb15k_cb":
+        # f32 everywhere EXCEPT the backward's contrib[sperm] permutation
+        # stream, cast to bf16 pre-gather (round 5: 42.5 -> 56.5 steps/s —
+        # equals the full-bf16 fb15k_best while keeping f32 matmuls,
+        # messages and moments; d_x accumulates f32 in the kernel)
+        cfg = cfg.replace(use_pallas=True)
+        _sp.MGCN_CONTRIB = "bf16"
     elif mode == "fb15k_sx":
         # fastest FULL-PRECISION FB15k config: one kernel launch per pass for
         # both halves (stacked_xla; +4% over per-half f32, BENCH_NOTES)

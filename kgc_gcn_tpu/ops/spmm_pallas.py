@@ -78,6 +78,11 @@ EDGE_CONTRIB = os.environ.get("KGC_EDGE_CONTRIB", "f32")
 #   edge_compose backward's d_h contrib stream ('bf16' halves the (E, d)
 #   permutation bytes, f32 kernel accumulation — the RGCN readback trick
 #   applied to RGAT; opt-in, A/B via ab_variants edge_contrib:)
+MGCN_CONTRIB = os.environ.get("KGC_MGCN_CONTRIB", "f32")
+#   the MGCN f32 backward's contrib[sperm] stream, same trick ('bf16'
+#   casts the composed contrib before the s-perm gather while the rest of
+#   the step stays f32; d_x accumulates f32 in the kernel) — opt-in,
+#   A/B via ab_variants mgcn_contrib:
 BASIS_READBACK = os.environ.get("KGC_BASIS_READBACK", "wide")
 #   the backward's s<->d readback permutation (6.8 ms/step of the 45.7 at
 #   FB15k config 3 — round-5 profile): 'wide' gathers the (E_pad2, 128)
@@ -656,6 +661,11 @@ def _agg_bwd(n_ent, interpret, msg_dtype, rel_onehot, ew_pallas, bwd_perm,
             else gd * rg * etab
         d_rel_in = gd * xg * etab
         d_etab = gd * xg * rg
+        if (msg_dtype == "float32" and contrib is not None
+                and MGCN_CONTRIB == "bf16"):
+            # opt-in: halve ONLY the permutation stream's bytes in an
+            # otherwise-f32 step (the round-5 RGCN readback trick)
+            contrib = contrib.astype(jnp.bfloat16)
         if msg_dtype != "float32":
             d_rel_in = d_rel_in.astype(msg_dtype)
             if contrib is not None and BF16_CAST == "pre":

@@ -93,6 +93,8 @@ def build(overrides):
         "basis_pad", os.environ.get("KGC_BASIS_PAD", "through"))
     sp.EDGE_CONTRIB = kw.pop(
         "edge_contrib", os.environ.get("KGC_EDGE_CONTRIB", "f32"))
+    sp.MGCN_CONTRIB = kw.pop(
+        "mgcn_contrib", os.environ.get("KGC_MGCN_CONTRIB", "f32"))
     sp.BASIS_FWD_TILE_N = int(kw.pop(
         "basis_fwd_tile_n", os.environ.get("KGC_BASIS_FWD_TILE_N", 0)))
     sp.BASIS_FWD_VARIANT = kw.pop(

@@ -70,6 +70,24 @@ def test_generalization_gate_complex_decoder(sync_corpus):
     assert best > 0.5, f"held-out MRR {best:.3f} (chance {CHANCE_MRR:.3f})"
 
 
+def test_generalization_gate_survives_bf16_contrib(sync_corpus,
+                                                   monkeypatch):
+    """KGC_MGCN_CONTRIB=bf16 (only the backward's permuted contrib stream
+    in bf16, everything else f32 — round 5: +33% at FB15k scale) must not
+    break learning.  Numerically a SUBSET of the compute_dtype=bfloat16
+    casting the next gate already covers; gated separately because it is
+    its own knob."""
+    import kgc_gcn_tpu.ops.spmm_pallas as sp
+    monkeypatch.setattr(sp, "MGCN_CONTRIB", "bf16")
+    ds, g, banks = sync_corpus
+    cfg = dataset_preset("Toy", gcn_in_dim=16, gcn_out_dim=32,
+                         decoder="complex", batch_size=32,
+                         learning_rate=0.01, lbl_smooth=0.1,
+                         gcn_drop=0.1, conv_drop=0.0, use_pallas=True)
+    best = _train_best_val(ds, g, banks, cfg, max_epoch=150, stop_at=0.6)
+    assert best > 0.5, f"bf16-contrib held-out MRR {best:.3f}"
+
+
 def test_generalization_gate_survives_bf16_modes(sync_corpus):
     """The bf16 throughput modes (Adam moments stored in bf16; bf16 matmul
     operands with f32 accumulation) must not break LEARNING: the same
